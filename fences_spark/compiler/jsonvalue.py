@@ -1,0 +1,294 @@
+"""Compile a fences-dialect schema against a column holding a JSON
+*document as text* (e.g. an events ``props`` cell, or the fixture
+``sample_json`` column).
+
+Two tiers:
+
+1. **Builtin tier** — for schemas whose shape the VariantType algebra
+   can express (scalar keywords, flat objects/arrays), compile to
+   ``parse_json`` + ``schema_of_variant`` / ``try_variant_get``
+   expressions: JVM-side, codegen'd, no Python.
+2. **Arrow tier** — everything else runs the reference evaluator
+   (fences_spark.schema.evaluator) inside a *vectorized pandas UDF*:
+   one Python invocation per Arrow batch, never per row, per the
+   north-rule constraint (BASELINE.json:15 "no per-row Python").
+
+``compile_json(schema, col)`` tries tier 1 and falls back to tier 2.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import operator
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+
+from fences_spark.compiler import CompileError
+from fences_spark.schema.evaluator import Evaluator, SchemaType, format_regex
+from fences_spark.schema.regex_dialect import compile_dialect_pattern
+
+# ---------------------------------------------------------------------------
+# tier 2: Arrow-vectorized evaluator UDF
+# ---------------------------------------------------------------------------
+
+
+def json_eval_udf(schema: SchemaType) -> Any:
+    """Return a pandas UDF (boolean) evaluating ``schema`` over a JSON
+    string column.  The schema is captured in the closure and shipped
+    once per task, not per row; execution is one Python call per
+    Arrow batch."""
+    schema_blob = json.dumps(schema)
+
+    @F.pandas_udf("boolean")
+    def _eval(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        ev = Evaluator(json.loads(schema_blob))
+        for s in batches:
+            def one(x: Any) -> bool:
+                if x is None:
+                    return ev.validate(None)
+                try:
+                    return ev.validate(json.loads(x))
+                except (ValueError, TypeError):
+                    return False
+            yield s.map(one).astype("boolean")
+
+    return _eval
+
+
+def compile_json_udf(schema: SchemaType, col: Column) -> Column:
+    return json_eval_udf(schema)(col)
+
+
+# ---------------------------------------------------------------------------
+# tier 1: VariantType builtins (flat subset)
+# ---------------------------------------------------------------------------
+
+_NUM_PREFIXES = ("BIGINT", "DOUBLE", "DECIMAL", "FLOAT", "INT", "SMALLINT", "TINYINT")
+
+_SUPPORTED_VARIANT_KEYWORDS = frozenset(
+    {
+        "type", "enum", "NOT_enum", "const", "NOT_const",
+        "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+        "multipleOf", "NOT_multipleOf",
+        "minLength", "maxLength", "pattern", "format",
+        "minItems", "maxItems",
+        "required", "properties", "minProperties", "maxProperties",
+        "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+    }
+) | frozenset(
+    {
+        "description", "title", "$comment", "deprecated", "example",
+        "examples", "default", "$schema", "$id",
+    }
+)
+
+
+def _tv(v: Column) -> Column:
+    return F.schema_of_variant(v)
+
+
+def _is_number(v: Column) -> Column:
+    t = _tv(v)
+    return functools.reduce(operator.or_, [t.startswith(p) for p in _NUM_PREFIXES])
+
+
+def _is_integer_variant(v: Column) -> Column:
+    num = F.try_variant_get(v, "$", "double")
+    return _is_number(v) & (F.pmod(num, F.lit(1.0)) == F.lit(0.0))
+
+
+def _type_pred(v: Column, ts: list[str]) -> Column:
+    t = _tv(v)
+    opts: list[Column] = []
+    for x in ts:
+        if x == "string":
+            opts.append(t == F.lit("STRING"))
+        elif x == "number":
+            opts.append(_is_number(v))
+        elif x == "integer":
+            opts.append(_is_integer_variant(v))
+        elif x == "boolean":
+            opts.append(t == F.lit("BOOLEAN"))
+        elif x == "null":
+            opts.append(F.is_variant_null(v))
+        elif x == "array":
+            opts.append(t.startswith("ARRAY"))
+        elif x == "object":
+            opts.append(t.startswith("OBJECT") | t.startswith("STRUCT"))
+        else:
+            raise CompileError(f"unknown type {x}")
+    return functools.reduce(operator.or_, opts) if opts else F.lit(False)
+
+
+class VariantCompiler:
+    """Flat-subset compiler over a variant expression.  Raises
+    CompileError on anything it cannot express exactly."""
+
+    def __init__(self, root: SchemaType):
+        self.root = root
+        self.evaluator = Evaluator(root)
+
+    def compile(self, v: Column) -> Column:
+        return self._compile(self.root, v)
+
+    def _compile(self, s: SchemaType, v: Column) -> Column:
+        if s is True:
+            return F.lit(True)
+        if s is False:
+            return F.lit(False)
+        unsupported = set(s) - _SUPPORTED_VARIANT_KEYWORDS
+        if unsupported:
+            raise CompileError(f"variant tier cannot express: {sorted(unsupported)}")
+
+        preds: list[Column] = []
+        t = _tv(v)
+        is_str = t == F.lit("STRING")
+        is_num = _is_number(v)
+        sval = F.try_variant_get(v, "$", "string")
+        nval = F.try_variant_get(v, "$", "double")
+
+        if "type" in s:
+            ts = s["type"]
+            preds.append(_type_pred(v, [ts] if isinstance(ts, str) else list(ts)))
+
+        for key, invert in (("enum", False), ("NOT_enum", True)):
+            if key in s:
+                p = self._enum_pred(s[key], v, t, sval, nval, is_num)
+                preds.append(~p if invert else p)
+        for key, invert in (("const", False), ("NOT_const", True)):
+            if key in s:
+                p = self._enum_pred([s[key]], v, t, sval, nval, is_num)
+                preds.append(~p if invert else p)
+
+        def num_gate(p: Column) -> Column:
+            return F.when(is_num, p).otherwise(F.lit(True))
+
+        if "minimum" in s:
+            preds.append(num_gate(nval >= F.lit(float(s["minimum"]))))
+        if "maximum" in s:
+            preds.append(num_gate(nval <= F.lit(float(s["maximum"]))))
+        if "exclusiveMinimum" in s:
+            preds.append(num_gate(nval > F.lit(float(s["exclusiveMinimum"]))))
+        if "exclusiveMaximum" in s:
+            preds.append(num_gate(nval < F.lit(float(s["exclusiveMaximum"]))))
+        for key, invert in (("multipleOf", False), ("NOT_multipleOf", True)):
+            if key in s:
+                k = float(s[key])
+                if k == 0:
+                    p = F.lit(False)
+                else:
+                    q = nval / F.lit(k)
+                    p = F.abs(q - F.round(q, 0)) <= F.lit(1e-9) * F.greatest(F.abs(q), F.lit(1.0))
+                preds.append(num_gate(~p if invert else p))
+
+        def str_gate(p: Column) -> Column:
+            return F.when(is_str, p).otherwise(F.lit(True))
+
+        if "minLength" in s:
+            preds.append(str_gate(F.length(sval) >= F.lit(int(s["minLength"]))))
+        if "maxLength" in s:
+            preds.append(str_gate(F.length(sval) <= F.lit(int(s["maxLength"]))))
+        if "pattern" in s:
+            for rx, negated in compile_dialect_pattern(s["pattern"]):
+                p = sval.rlike(rx)
+                preds.append(str_gate(~p if negated else p))
+        if "format" in s:
+            rx = format_regex(s["format"])
+            if rx is not None:
+                preds.append(str_gate(sval.rlike(rx)))
+
+        is_arr = t.startswith("ARRAY")
+
+        def arr_gate(p: Column) -> Column:
+            return F.when(is_arr, p).otherwise(F.lit(True))
+
+        arr = F.try_variant_get(v, "$", "array<variant>")
+        if "minItems" in s:
+            preds.append(arr_gate(F.size(arr) >= F.lit(int(s["minItems"]))))
+        if "maxItems" in s:
+            preds.append(arr_gate(F.size(arr) <= F.lit(int(s["maxItems"]))))
+
+        is_obj = t.startswith("OBJECT") | t.startswith("STRUCT")
+
+        def obj_gate(p: Column) -> Column:
+            return F.when(is_obj, p).otherwise(F.lit(True))
+
+        for k in s.get("required", []):
+            preds.append(obj_gate(F.try_variant_get(v, f"$.{k}", "variant").isNotNull()))
+        for k, sub in s.get("properties", {}).items():
+            child = F.try_variant_get(v, f"$.{k}", "variant")
+            preds.append(
+                obj_gate(F.when(child.isNull(), F.lit(True)).otherwise(self._compile(sub, child)))
+            )
+        if "minProperties" in s or "maxProperties" in s:
+            raise CompileError("min/maxProperties need the UDF tier (no variant key count)")
+
+        if "allOf" in s:
+            preds.extend(self._compile(sub, v) for sub in s["allOf"])
+        if "anyOf" in s:
+            preds.append(
+                functools.reduce(operator.or_, [self._compile(sub, v) for sub in s["anyOf"]])
+            )
+        if "oneOf" in s:
+            counts = [self._compile(sub, v).cast("int") for sub in s["oneOf"]]
+            preds.append(functools.reduce(operator.add, counts) == F.lit(1))
+        if "not" in s:
+            preds.append(~self._compile(s["not"], v))
+        if "if" in s:
+            if_p = self._compile(s["if"], v)
+            then_p = self._compile(s["then"], v) if "then" in s else F.lit(True)
+            else_p = self._compile(s["else"], v) if "else" in s else F.lit(True)
+            preds.append(F.when(if_p, then_p).otherwise(else_p))
+
+        if not preds:
+            return F.lit(True)
+        return functools.reduce(operator.and_, preds)
+
+    def _enum_pred(
+        self,
+        values: list[Any],
+        v: Column,
+        t: Column,
+        sval: Column,
+        nval: Column,
+        is_num: Column,
+    ) -> Column:
+        opts: list[Column] = []
+        for e in values:
+            if e is None:
+                opts.append(F.is_variant_null(v))
+            elif isinstance(e, bool):
+                opts.append(
+                    (t == F.lit("BOOLEAN"))
+                    & (F.try_variant_get(v, "$", "boolean") == F.lit(e))
+                )
+            elif isinstance(e, (int, float)):
+                opts.append(is_num & (nval == F.lit(float(e))))
+            elif isinstance(e, str):
+                opts.append((t == F.lit("STRING")) & (sval == F.lit(e)))
+            else:
+                raise CompileError("composite enum literal needs the UDF tier")
+        return functools.reduce(operator.or_, opts) if opts else F.lit(False)
+
+
+def compile_json(schema: SchemaType, col: Column) -> tuple[Column, str]:
+    """Compile a schema against a JSON-text column.  Returns
+    ``(predicate, tier)`` with tier in {"variant", "arrow_udf"}.
+
+    A malformed JSON cell is invalid; a SQL-NULL cell is evaluated as
+    JSON null (consistent with the typed compiler)."""
+    try:
+        v = F.try_parse_json(col)
+        pred = VariantCompiler(schema).compile(v)
+        null_verdict = Evaluator(schema).validate(None)
+        full = (
+            F.when(col.isNull(), F.lit(null_verdict))
+            .when(v.isNull(), F.lit(False))  # malformed JSON text
+            .otherwise(pred)
+        )
+        return full, "variant"
+    except CompileError:
+        return compile_json_udf(schema, col), "arrow_udf"

@@ -1,0 +1,167 @@
+"""RuleSet — the user-facing validation API.
+
+A :class:`Rule` binds one fences-dialect schema to one column; a
+:class:`RuleSet` compiles all rules into a single ``select`` (one
+boolean Column per rule — the Spark analog of the reference's
+per-leaf validity tags, /root/reference/fences/core/node.py:8-12) and
+derives:
+
+- ``row_valid``     — AND of all rule verdicts,
+- ``violations``    — array of failed rule ids per row (exact
+  violation rows, the north-rule criterion BASELINE.json:2),
+- ``verdicts()``    — per-(partition, rule) pass/fail counts, the
+  cluster analog of the reference's ConfusionMatrix partial+final
+  merge (fences/core/util.py:114-137),
+- ``confusion()``   — valid/invalid × accepted/rejected counts
+  against a ground-truth column (fences/core/util.py:86-153).
+
+Everything is one narrow projection over the input — no shuffle is
+introduced until an aggregation is requested, and the aggregations
+are map-side-combinable ``groupBy().agg(count)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from fences_spark.compiler import CompileError
+from fences_spark.compiler.jsonvalue import compile_json, compile_json_udf
+from fences_spark.compiler.typed import TypedCompiler
+from fences_spark.schema.evaluator import SchemaType
+
+
+@dataclass
+class Rule:
+    """One constraint: ``schema`` applied to ``column``.
+
+    mode:
+      - "typed": the column's Spark type carries the structure
+        (strings, numbers, arrays, structs, maps);
+      - "json":  the column holds a JSON document as text.
+    """
+
+    rule_id: str
+    column: str
+    schema: SchemaType
+    mode: str = "typed"
+
+    def compile(self, df: DataFrame) -> tuple[Column, str]:
+        col = df[self.column]
+        if self.mode == "json":
+            return compile_json(self.schema, col)
+        dtype = df.schema[self.column].dataType
+        try:
+            return TypedCompiler(self.schema).compile(col, dtype), "typed"
+        except CompileError:
+            # fall back: serialize the cell to JSON text and run the
+            # Arrow-vectorized evaluator (still no per-row Python).
+            # to_json(named_struct) would drop null fields, so encode
+            # the cell itself: strings via to_json of a one-element
+            # array (then the schema is lifted over prefixItems).
+            from pyspark.sql import types as T
+
+            if isinstance(dtype, T.StringType):
+                jcol = F.to_json(F.array(col))
+                lifted = {"prefixItems": [self.schema]}
+                # null cell → "[null]" → prefixItems applies schema to null
+                return compile_json_udf(lifted, jcol), "arrow_udf"
+            return compile_json_udf(self.schema, F.to_json(col)), "arrow_udf"
+
+
+@dataclass
+class ValidationResult:
+    """Annotated DataFrame plus rule metadata."""
+
+    df: DataFrame  # input columns + one boolean per rule + row_valid + violations
+    rule_ids: list[str]
+    tiers: dict[str, str]  # rule_id -> {"typed", "variant", "arrow_udf"}
+
+    def violations(self, *keep: str) -> DataFrame:
+        """Exact violation rows: one row per (row, failed rule)."""
+        cols = list(keep) if keep else [
+            c for c in self.df.columns
+            if c not in self.rule_ids and c not in ("row_valid", "violations")
+        ]
+        return (
+            self.df.filter(~F.col("row_valid"))
+            .select(*cols, F.explode("violations").alias("rule_id"))
+        )
+
+    def verdicts(self) -> DataFrame:
+        """Per-(partition, rule) pass/fail counts — map-side combined,
+        output is #partitions × #rules rows."""
+        agg_exprs = []
+        for rid in self.rule_ids:
+            agg_exprs.append(F.sum(F.col(rid).cast("long")).alias(f"{rid}__pass"))
+            agg_exprs.append(F.sum((~F.col(rid)).cast("long")).alias(f"{rid}__fail"))
+        per_part = (
+            self.df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"), *agg_exprs)
+        )
+        # unpivot to (partition_id, rule_id, n_pass, n_fail, passed)
+        stack_expr = ", ".join(
+            f"'{rid}', {rid}__pass, {rid}__fail" for rid in self.rule_ids
+        )
+        n = len(self.rule_ids)
+        return per_part.selectExpr(
+            "partition_id",
+            "rows",
+            f"stack({n}, {stack_expr}) as (rule_id, n_pass, n_fail)",
+        ).withColumn("passed", F.col("n_fail") == 0)
+
+    def confusion(self, truth_col: str) -> DataFrame:
+        """ConfusionMatrix analog: expected (truth) × observed
+        (row_valid) counts.  Diagonality == exact reproduction of the
+        reference oracle."""
+        return (
+            self.df.groupBy()
+            .agg(
+                F.sum((F.col(truth_col) & F.col("row_valid")).cast("long")).alias("valid_accepted"),
+                F.sum((F.col(truth_col) & ~F.col("row_valid")).cast("long")).alias("valid_rejected"),
+                F.sum((~F.col(truth_col) & F.col("row_valid")).cast("long")).alias("invalid_accepted"),
+                F.sum((~F.col(truth_col) & ~F.col("row_valid")).cast("long")).alias("invalid_rejected"),
+            )
+        )
+
+
+@dataclass
+class RuleSet:
+    rules: list[Rule] = field(default_factory=list)
+
+    def add(self, rule_id: str, column: str, schema: SchemaType, mode: str = "typed") -> "RuleSet":
+        self.rules.append(Rule(rule_id, column, schema, mode))
+        return self
+
+    def apply(self, df: DataFrame) -> ValidationResult:
+        """One projection: input columns + per-rule booleans +
+        row_valid + violations array.  Narrow (no shuffle)."""
+        preds: dict[str, Column] = {}
+        tiers: dict[str, str] = {}
+        for r in self.rules:
+            pred, tier = r.compile(df)
+            preds[r.rule_id] = F.coalesce(pred, F.lit(False))
+            tiers[r.rule_id] = tier
+        out = df.select(
+            "*", *[preds[rid].alias(rid) for rid in preds]
+        )
+        rule_ids = [r.rule_id for r in self.rules]
+        all_ok = F.lit(True)
+        for rid in rule_ids:
+            all_ok = all_ok & F.col(rid)
+        failed = F.filter(
+            F.array(*[
+                F.when(~F.col(rid), F.lit(rid)).otherwise(F.lit(None)) for rid in rule_ids
+            ]),
+            lambda x: x.isNotNull(),
+        )
+        out = out.withColumn("row_valid", all_ok).withColumn("violations", failed)
+        return ValidationResult(out, rule_ids, tiers)
+
+    def describe(self) -> list[dict[str, Any]]:
+        return [
+            {"rule_id": r.rule_id, "column": r.column, "mode": r.mode, "schema": r.schema}
+            for r in self.rules
+        ]

@@ -1,0 +1,254 @@
+"""queries()/oracle_sql() registry for the driver correctness gate.
+
+Each entry pairs a Spark implementation (left) with an ANSI-SQL DuckDB
+oracle (right) over the same parquet tables.  Conventions for
+hash-exact comparison:
+
+- every computed column is aliased identically on both sides;
+- double aggregates go through DECIMAL casts (exact, order-independent)
+  and back to DOUBLE, so value hashes match bit-for-bit;
+- deterministic ORDER-insensitive outputs (driver sorts before
+  hashing), but no LIMIT without a total order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fences_spark.compiler.ruleset import RuleSet
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# validation queries (the engine's own operators)
+# ---------------------------------------------------------------------------
+
+def q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship rule evaluation → global per-rule pass/fail counts.
+    Exercises the typed builtin compiler tier (pattern/minLength/
+    enum/minimum) — SURVEY.md §2.A."""
+    docs = _t(spark, sf_dir, "documents")
+    rs = RuleSet()
+    rs.add("text_present", "text", {"type": "string", "minLength": 1})
+    rs.add("lang_format", "lang", {"type": "string", "pattern": "^[a-z]{2}$"})
+    rs.add("nchars_nonneg", "n_chars", {"type": "integer", "minimum": 0})
+    res = rs.apply(docs)
+    agg = res.df.groupBy().agg(
+        *[F.sum(F.col(rid).cast("long")).alias(f"pass_{rid}") for rid in res.rule_ids],
+        *[F.sum((~F.col(rid)).cast("long")).alias(f"fail_{rid}") for rid in res.rule_ids],
+    )
+    return agg
+
+
+SQL_VALIDATE_DOCUMENTS = """
+SELECT
+  SUM(CASE WHEN text IS NOT NULL AND length(text) >= 1 THEN 1 ELSE 0 END)::BIGINT AS pass_text_present,
+  SUM(CASE WHEN lang IS NOT NULL AND regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END)::BIGINT AS pass_lang_format,
+  SUM(CASE WHEN n_chars IS NOT NULL AND n_chars >= 0 THEN 1 ELSE 0 END)::BIGINT AS pass_nchars_nonneg,
+  SUM(CASE WHEN text IS NOT NULL AND length(text) >= 1 THEN 0 ELSE 1 END)::BIGINT AS fail_text_present,
+  SUM(CASE WHEN lang IS NOT NULL AND regexp_matches(lang, '^[a-z]{2}$') THEN 0 ELSE 1 END)::BIGINT AS fail_lang_format,
+  SUM(CASE WHEN n_chars IS NOT NULL AND n_chars >= 0 THEN 0 ELSE 1 END)::BIGINT AS fail_nchars_nonneg
+FROM documents
+"""
+
+
+def q_violations_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-cell validation (variant builtin tier) over events.props:
+    exact violation rows for a schema requiring a numeric
+    non-negative $.value — SURVEY.md §2.B filters/projections."""
+    ev = _t(spark, sf_dir, "events")
+    rs = RuleSet()
+    rs.add(
+        "props_wellformed",
+        "props",
+        {"type": "object"},
+        mode="json",
+    )
+    res = rs.apply(ev)
+    return res.df.filter(~F.col("props_wellformed")).select("event_id", "props")
+
+
+SQL_VIOLATIONS_EVENTS_PROPS = """
+SELECT event_id, props
+FROM events
+WHERE NOT (props IS NOT NULL AND json_valid(props) AND json_type(props::JSON) = 'OBJECT')
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (SURVEY.md §2.B)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → groupBy two keys → 7 aggregates.
+    DECIMAL sums for order-independent exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))).cast("decimal(28,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.max(F.col("l_quantity").cast("double")).alias("max_qty"),
+            F.min(F.col("l_extendedprice").cast("double")).alias("min_price"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty,
+  (SUM(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS sum_base_price,
+  (SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))))::DOUBLE AS sum_disc_price,
+  COUNT(*)::BIGINT AS count_order,
+  MAX(l_quantity::DOUBLE) AS max_qty,
+  MIN(l_extendedprice::DOUBLE) AS min_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join (small dim broadcast explicitly) + agg."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+SQL_JOIN_CUSTOMER_ORDERS = """
+SELECT c_mktsegment,
+       COUNT(*)::BIGINT AS n_orders,
+       (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity: left-anti (NOT EXISTS) orphan check —
+    the repo→commit analog over driver tables (SURVEY.md §2.B joins)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+
+SQL_ORPHAN_ORDERS = """
+SELECT COUNT(*)::BIGINT AS n_orphans
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+"""
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (SURVEY.md §2.B
+    uniqueness; hash-groupBy dedup for training pipelines): groups
+    with >1 member, keyed by md5 so both engines agree."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+SQL_DEDUP_EXACT_DOCUMENTS = """
+SELECT md5(text) AS text_md5, COUNT(*)::BIGINT AS n_copies, MIN(doc_id)::BIGINT AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+def q_dup_key_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function dedup exemplars: row_number over dup keys,
+    keep rank>1 rows (the north-rule (repo,path,commit) pattern on
+    lineitem's (l_orderkey, l_partkey) key)."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("l_orderkey", "l_partkey", "l_linenumber", "rn")
+    )
+
+
+SQL_DUP_KEY_EXEMPLARS = """
+SELECT l_orderkey, l_partkey, l_linenumber, rn FROM (
+  SELECT l_orderkey, l_partkey, l_linenumber,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber)::BIGINT AS rn
+  FROM lineitem
+) WHERE rn > 1
+"""
+
+
+def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile: null rate, exact distinct, min/max,
+    exact median (SURVEY.md §2.B aggregations; the HLL/t-digest
+    variants are engine-side, oracle uses exact forms)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_partkey").isNull().cast("long")).alias("null_partkey"),
+        F.countDistinct("l_partkey").alias("nd_partkey"),
+        F.min(F.col("l_quantity").cast("double")).alias("min_qty"),
+        F.max(F.col("l_quantity").cast("double")).alias("max_qty"),
+        F.expr("percentile(l_quantity, 0.5)").cast("double").alias("median_qty"),
+    )
+
+
+SQL_STATS_PROFILE = """
+SELECT COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_partkey,
+       COUNT(DISTINCT l_partkey)::BIGINT AS nd_partkey,
+       MIN(l_quantity::DOUBLE) AS min_qty,
+       MAX(l_quantity::DOUBLE) AS max_qty,
+       quantile_cont(l_quantity, 0.5)::DOUBLE AS median_qty
+FROM lineitem
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "validate_documents": q_validate_documents,
+    "violations_events_props": q_violations_events_props,
+    "q1_pricing_summary": q1_pricing_summary,
+    "join_customer_orders": q_join_customer_orders,
+    "orphan_orders": q_orphan_orders,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "dup_key_exemplars": q_dup_key_exemplars,
+    "stats_profile": q_stats_profile,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "validate_documents": SQL_VALIDATE_DOCUMENTS,
+    "violations_events_props": SQL_VIOLATIONS_EVENTS_PROPS,
+    "q1_pricing_summary": SQL_Q1,
+    "join_customer_orders": SQL_JOIN_CUSTOMER_ORDERS,
+    "orphan_orders": SQL_ORPHAN_ORDERS,
+    "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
+    "dup_key_exemplars": SQL_DUP_KEY_EXEMPLARS,
+    "stats_profile": SQL_STATS_PROFILE,
+}

@@ -1,0 +1,222 @@
+"""Parity: the Spark predicate tiers must reproduce the reference
+evaluator's verdicts exactly (diagonal confusion matrix — the
+reference's correctness criterion, test_generate.py:26-36)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from fences_spark.compiler import CompileError
+from fences_spark.compiler.jsonvalue import VariantCompiler, compile_json, compile_json_udf
+from fences_spark.compiler.typed import TypedCompiler
+from fences_spark.schema.evaluator import Evaluator
+
+
+def check_typed(spark, schema, values, ddl):
+    """Compile `schema` against a typed column of type `ddl`, compare
+    verdicts to the evaluator's for every value."""
+    df = spark.createDataFrame([(v,) for v in values], f"v {ddl}")
+    pred = TypedCompiler(schema).compile(df["v"], df.schema["v"].dataType)
+    got = [r["ok"] for r in df.select(F.coalesce(pred, F.lit(False)).alias("ok")).collect()]
+    ev = Evaluator(schema)
+    want = [ev.validate(v) for v in values]
+    assert got == want, f"{schema}: got {got}, want {want} for {values}"
+
+
+def check_json(spark, schema, values):
+    """Same parity over JSON-text cells for both the variant tier (if
+    expressible) and the Arrow UDF tier."""
+    texts = [json.dumps(v) for v in values]
+    df = spark.createDataFrame([(t,) for t in texts], "v string")
+    ev = Evaluator(schema)
+    want = [ev.validate(v) for v in values]
+
+    pred, tier = compile_json(schema, df["v"])
+    got = [r["ok"] for r in df.select(F.coalesce(pred, F.lit(False)).alias("ok")).collect()]
+    assert got == want, f"[{tier}] {schema}: got {got}, want {want}"
+
+    upred = compile_json_udf(schema, df["v"])
+    got_u = [r["ok"] for r in df.select(F.coalesce(upred, F.lit(False)).alias("ok")).collect()]
+    assert got_u == want, f"[arrow_udf] {schema}: got {got_u}, want {want}"
+    return tier
+
+
+STRINGS = ["", "a", "abc", "org/repo", "no-slash", "a/b/c", "x" * 20, None,
+           "2024-01-31", "a@b.co", "FORBIDDEN", "forbidden-start"]
+NUMBERS = [0.0, 1.0, -1.5, 99.999, 100.0, 102.0, 3.0, 0.3, 1e6, None]
+INT_NUMBERS = [0, 1, -3, 100, 102, 7, None]
+
+
+class TestTypedString:
+    @pytest.mark.parametrize("schema", [
+        {"type": "string", "minLength": 3, "maxLength": 10},
+        {"type": "string", "pattern": "^[-\\w.]+/[-\\w.]+$"},
+        {"type": "string", "pattern": "(^[a-z])&(!(^forbidden))"},
+        {"type": "string", "format": "email"},
+        {"type": "string", "format": "date"},
+        {"enum": ["org/repo", "a/b/c", 5]},
+        {"NOT_enum": ["abc"]},
+        {"const": "abc"},
+        {"type": ["string", "null"]},
+        {"not": {"minLength": 3}},
+        {"anyOf": [{"maxLength": 1}, {"pattern": "/"}]},
+        {"oneOf": [{"maxLength": 3}, {"pattern": "a"}]},
+        {"if": {"pattern": "^a"}, "then": {"minLength": 3}, "else": {"maxLength": 5}},
+        {"allOf": [{"minLength": 1}, {"maxLength": 8}]},
+        {"minimum": 5},  # vacuous on strings
+        True,
+        False,
+    ])
+    def test_string_schemas(self, spark, schema):
+        check_typed(spark, schema, STRINGS, "string")
+
+
+class TestTypedNumber:
+    @pytest.mark.parametrize("schema", [
+        {"type": "number", "minimum": 100},
+        {"type": "number", "exclusiveMinimum": 100},
+        {"type": "number", "minimum": 100, "multipleOf": 3},
+        {"type": "number", "multipleOf": 0.1},
+        {"type": "integer"},
+        {"type": "integer", "maximum": 50},
+        {"enum": [1, 102.0, "x"]},
+        {"NOT_multipleOf": 3},
+        {"not": {"minimum": 0}},
+        {"oneOf": [{"multipleOf": 3}, {"multipleOf": 5}]},
+    ])
+    def test_double_schemas(self, spark, schema):
+        check_typed(spark, schema, NUMBERS, "double")
+
+    @pytest.mark.parametrize("schema", [
+        {"type": "integer", "minimum": 0},
+        {"type": "number", "multipleOf": 2},
+        {"enum": [1, 7]},
+    ])
+    def test_bigint_schemas(self, spark, schema):
+        check_typed(spark, schema, INT_NUMBERS, "bigint")
+
+
+class TestTypedArray:
+    @pytest.mark.parametrize("schema", [
+        {"type": "array", "minItems": 2},
+        {"type": "array", "maxItems": 2},
+        {"type": "array", "items": {"type": "number", "minimum": 0}},
+        {"type": "array", "uniqueItems": True},
+        {"type": "array", "prefixItems": [{"minimum": 5}], "items": {"maximum": 3}},
+        {"type": "array", "contains": {"minimum": 3}, "minContains": 2},
+        {"type": "array", "contains": {"minimum": 3}, "maxContains": 1},
+    ])
+    def test_array_schemas(self, spark, schema):
+        values = [[], [1.0], [1.0, 2.0], [5.0, 1.0, 1.0], [3.0, 4.0, 5.0],
+                  [1.0, 1.0], [-1.0, 0.0], None, [None, 1.0]]
+        check_typed(spark, schema, values, "array<double>")
+
+
+class TestTypedStruct:
+    @pytest.mark.parametrize("schema", [
+        {"type": "object", "required": ["a"]},
+        {"type": "object", "required": ["missing_key"]},
+        {"type": "object", "properties": {"a": {"type": "number", "minimum": 0}}},
+        {"type": "object", "properties": {"a": {"minimum": 0}}, "additionalProperties": {"type": "string"}},
+        {"type": "object", "minProperties": 2},
+        {"type": "object", "dependentRequired": {"a": ["b"]}},
+    ])
+    def test_struct_schemas(self, spark, schema):
+        # struct rows; None field == key absent (typed-data convention)
+        rows = [
+            {"a": 1.0, "b": "x"},
+            {"a": -1.0, "b": None},
+            {"a": None, "b": "y"},
+            {"a": None, "b": None},
+            None,
+        ]
+        df = spark.createDataFrame([(r,) for r in rows], "v struct<a: double, b: string>")
+        pred = TypedCompiler(schema).compile(df["v"], df.schema["v"].dataType)
+        got = [r["ok"] for r in df.select(F.coalesce(pred, F.lit(False)).alias("ok")).collect()]
+        ev = Evaluator(schema)
+        dicts = [
+            None if r is None else {k: x for k, x in r.items() if x is not None}
+            for r in rows
+        ]
+        want = [ev.validate(d) for d in dicts]
+        assert got == want
+
+
+class TestTypedMap:
+    def test_map_object(self, spark):
+        schema = {
+            "type": "object",
+            "required": ["a"],
+            "properties": {"a": {"minimum": 0}},
+            "maxProperties": 2,
+        }
+        rows = [{"a": 1.0}, {"a": -1.0}, {"b": 2.0}, {"a": 0.0, "b": 1.0, "c": 2.0}, {}, None]
+        df = spark.createDataFrame([(r,) for r in rows], "v map<string, double>")
+        pred = TypedCompiler(schema).compile(df["v"], df.schema["v"].dataType)
+        got = [r["ok"] for r in df.select(F.coalesce(pred, F.lit(False)).alias("ok")).collect()]
+        want = [Evaluator(schema).validate(r) for r in rows]
+        assert got == want
+
+
+class TestTypedFallbackSignal:
+    def test_recursive_ref_bounded_by_dtype(self, spark):
+        # $ref recursion *consumes dtype structure*, so it terminates
+        # naturally on typed columns and stays on the builtin tier
+        schema = {"type": ["array", "number"], "items": {"$ref": "#"}}
+        values = [[1.0, 2.0], [], [-1.0], None]
+        check_typed(spark, schema, values, "array<double>")
+
+    def test_self_loop_ref_raises(self, spark):
+        # a ref that does not consume structure loops → depth guard
+        schema = {"allOf": [{"$ref": "#"}]}
+        df = spark.createDataFrame([("x",)], "v string")
+        with pytest.raises(CompileError):
+            TypedCompiler(schema).compile(df["v"], df.schema["v"].dataType)
+
+    def test_composite_enum_raises(self, spark):
+        df = spark.createDataFrame([([1.0],)], "v array<double>")
+        with pytest.raises(CompileError):
+            TypedCompiler({"enum": [[1.0]]}).compile(df["v"], df.schema["v"].dataType)
+
+
+JSON_VALUES = [
+    None, True, False, 0, 1, -2, 3.5, 100, 102, "", "a", "abc", "org/repo",
+    [1, 2], ["a"], [], {"a": 1}, {"a": -1}, {"b": 2}, {}, {"a": "x"},
+    [3, 4, 1], {"a": 1, "b": 2, "c": 3},
+]
+
+
+class TestJsonTiers:
+    @pytest.mark.parametrize("schema,expect_tier", [
+        ({"type": "number", "minimum": 100}, "variant"),
+        ({"type": "integer"}, "variant"),
+        ({"type": "string", "minLength": 2}, "variant"),
+        ({"type": ["string", "null"]}, "variant"),
+        ({"enum": ["a", 1, None, True]}, "variant"),
+        ({"const": "abc"}, "variant"),
+        ({"type": "object", "required": ["a"], "properties": {"a": {"type": "number", "minimum": 0}}}, "variant"),
+        ({"type": "array", "minItems": 2}, "variant"),
+        ({"oneOf": [{"type": "string"}, {"type": "number"}]}, "variant"),
+        ({"not": {"type": "object"}}, "variant"),
+        ({"if": {"type": "number"}, "then": {"minimum": 0}}, "variant"),
+        # UDF-tier schemas
+        ({"type": "array", "items": {"type": "number"}}, "arrow_udf"),
+        ({"enum": [[1, 2]]}, "arrow_udf"),
+        ({"type": "object", "minProperties": 2}, "arrow_udf"),
+        ({"patternProperties": {"^a": {"type": "number"}}}, "arrow_udf"),
+        ({"type": "array", "uniqueItems": True}, "arrow_udf"),
+        ({"dependentRequired": {"a": ["b"]}}, "arrow_udf"),
+        ({"type": ["array", "number"], "items": {"$ref": "#"}}, "arrow_udf"),
+    ])
+    def test_json_parity(self, spark, schema, expect_tier):
+        tier = check_json(spark, schema, JSON_VALUES)
+        assert tier == expect_tier
+
+    def test_malformed_json_is_invalid(self, spark):
+        df = spark.createDataFrame([("{not json",), (None,)], "v string")
+        pred, tier = compile_json({"type": "object"}, df["v"])
+        got = [r["ok"] for r in df.select(F.coalesce(pred, F.lit(False)).alias("ok")).collect()]
+        assert got == [False, False]  # malformed invalid; NULL cell = JSON null → not object
