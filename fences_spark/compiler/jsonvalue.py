@@ -140,6 +140,8 @@ class VariantCompiler:
         if s is False:
             return F.lit(False)
         unsupported = set(s) - _SUPPORTED_VARIANT_KEYWORDS
+        if unsupported == {"$defs"} and s is self.root:
+            unsupported = set()  # defs unused unless a $ref occurs (unsupported anyway)
         if unsupported:
             raise CompileError(f"variant tier cannot express: {sorted(unsupported)}")
 
@@ -229,12 +231,13 @@ class VariantCompiler:
         if "allOf" in s:
             preds.extend(self._compile(sub, v) for sub in s["allOf"])
         if "anyOf" in s:
-            preds.append(
-                functools.reduce(operator.or_, [self._compile(sub, v) for sub in s["anyOf"]])
-            )
+            opts = [self._compile(sub, v) for sub in s["anyOf"]]
+            preds.append(functools.reduce(operator.or_, opts) if opts else F.lit(False))
         if "oneOf" in s:
             counts = [self._compile(sub, v).cast("int") for sub in s["oneOf"]]
-            preds.append(functools.reduce(operator.add, counts) == F.lit(1))
+            preds.append(
+                functools.reduce(operator.add, counts) == F.lit(1) if counts else F.lit(False)
+            )
         if "not" in s:
             preds.append(~self._compile(s["not"], v))
         if "if" in s:

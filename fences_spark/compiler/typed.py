@@ -280,6 +280,8 @@ class TypedCompiler:
             preds.append(F.size(col) <= F.lit(int(s["maxItems"])))
         if s.get("uniqueItems"):
             preds.append(F.size(col) == F.size(F.array_distinct(col)))
+        if s.get("NOT_uniqueItems"):
+            preds.append(F.size(col) != F.size(F.array_distinct(col)))
         prefix = s.get("prefixItems", [])
         for i, sub in enumerate(prefix):
             idx = F.element_at(col, i + 1)
@@ -310,6 +312,9 @@ class TypedCompiler:
             if k not in fields:
                 return [F.lit(False)]
             preds.append(col.getField(k).isNotNull())
+        for k in s.get("NOT_required", []):
+            if k in fields:
+                preds.append(col.getField(k).isNull())
         props = s.get("properties", {})
         for k, sub in props.items():
             if k not in fields:
@@ -358,6 +363,8 @@ class TypedCompiler:
         vt = dtype.valueType
         for k in s.get("required", []):
             preds.append(F.map_contains_key(col, k))
+        for k in s.get("NOT_required", []):
+            preds.append(~F.map_contains_key(col, k))
         props = s.get("properties", {})
         for k, sub in props.items():
             v = F.element_at(col, F.lit(k))

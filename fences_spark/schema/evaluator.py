@@ -282,6 +282,12 @@ class Evaluator:
                     for j in range(i + 1, n):
                         if _deep_eq(v[i], v[j]):
                             return False
+            if s.get("NOT_uniqueItems"):
+                # normalizer-internal: at least one duplicate pair
+                if not any(
+                    _deep_eq(v[i], v[j]) for i in range(n) for j in range(i + 1, n)
+                ):
+                    return False
             prefix = s.get("prefixItems", [])
             for i, sub in enumerate(prefix):
                 if i < n and not self.validate(v[i], sub, dep):
@@ -301,6 +307,10 @@ class Evaluator:
         if isinstance(v, dict):
             for k in s.get("required", []):
                 if k not in v:
+                    return False
+            for k in s.get("NOT_required", []):
+                # normalizer-internal: listed keys must be absent
+                if k in v:
                     return False
             if "minProperties" in s and len(v) < s["minProperties"]:
                 return False
