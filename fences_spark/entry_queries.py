@@ -231,6 +231,125 @@ FROM lineitem
 """
 
 
+# ---------------------------------------------------------------------------
+# operator-backed queries (stats / integrity / drift modules)
+# ---------------------------------------------------------------------------
+
+def q_profile_exact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.stats.profile in exact mode (oracle-comparable)."""
+    from fences_spark.operators.stats import profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile(orders, ["o_totalprice"], exact=True)
+
+
+SQL_PROFILE_EXACT_ORDERS = """
+SELECT 'o_totalprice' AS column,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       (SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)) AS null_rate,
+       COUNT(DISTINCT o_totalprice)::BIGINT AS n_distinct,
+       MIN(o_totalprice)::DOUBLE AS min_value,
+       MAX(o_totalprice)::DOUBLE AS max_value,
+       quantile_cont(o_totalprice, 0.5)::DOUBLE AS q50,
+       quantile_cont(o_totalprice, 0.95)::DOUBLE AS q95,
+       quantile_cont(o_totalprice, 0.99)::DOUBLE AS q99
+FROM orders
+"""
+
+
+def q_dedup_key_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.integrity.dedup_exact: skew-bounded exact dedup; the
+    surviving-row count equals the distinct key count."""
+    from fences_spark.operators.integrity import dedup_exact
+
+    li = _t(spark, sf_dir, "lineitem")
+    deduped = dedup_exact(li, ["l_orderkey", "l_partkey"])
+    return deduped.groupBy().agg(F.count(F.lit(1)).alias("n_unique_keys"))
+
+
+SQL_DEDUP_KEY_COUNT = """
+SELECT COUNT(*)::BIGINT AS n_unique_keys
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+"""
+
+
+def q_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.drift.categorical_histogram (drift input)."""
+    from fences_spark.operators.drift import categorical_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return categorical_histogram(docs, "lang")
+
+
+SQL_LANG_HISTOGRAM = """
+SELECT 'lang' AS dim, COALESCE(lang, '<null>') AS bucket, COUNT(*)::BIGINT AS cnt
+FROM documents GROUP BY lang
+"""
+
+
+def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 events per user by value (window + filter — top-k
+    without a global sort), deterministic tie-break on event_id."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("user_id", "event_id", F.col("value").cast("double").alias("value"), "rk")
+    )
+
+
+SQL_TOPK_EVENTS_PER_USER = """
+SELECT user_id, event_id, value::DOUBLE AS value, rk FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)::BIGINT AS rk
+  FROM events
+) WHERE rk <= 2
+"""
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers in BUILDING segment EXCEPT those with
+    an open order (exceptAll → oracle diff pattern, SURVEY.md §2.B)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey")).distinct()
+    return building.exceptAll(open_orders)
+
+
+SQL_SET_OPS_CUSTOMERS = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT ALL
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON projection functions over events.props: extract a field,
+    aggregate by it (get_json_object path — SURVEY.md §2.B map/JSON)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT json_extract_string(props, '$.k') AS k,
+       COUNT(*)::BIGINT AS n,
+       (SUM(CAST(value AS DECIMAL(18,4))))::DOUBLE AS total_value
+FROM events GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_documents": q_validate_documents,
     "violations_events_props": q_violations_events_props,
@@ -240,6 +359,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_documents": q_dedup_exact_documents,
     "dup_key_exemplars": q_dup_key_exemplars,
     "stats_profile": q_stats_profile,
+    "profile_exact_orders": q_profile_exact_orders,
+    "dedup_key_count": q_dedup_key_count,
+    "lang_histogram": q_lang_histogram,
+    "topk_events_per_user": q_topk_events_per_user,
+    "set_ops_customers": q_set_ops_customers,
+    "events_json_props": q_events_json_props,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -251,4 +376,10 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
     "dup_key_exemplars": SQL_DUP_KEY_EXEMPLARS,
     "stats_profile": SQL_STATS_PROFILE,
+    "profile_exact_orders": SQL_PROFILE_EXACT_ORDERS,
+    "dedup_key_count": SQL_DEDUP_KEY_COUNT,
+    "lang_histogram": SQL_LANG_HISTOGRAM,
+    "topk_events_per_user": SQL_TOPK_EVENTS_PER_USER,
+    "set_ops_customers": SQL_SET_OPS_CUSTOMERS,
+    "events_json_props": SQL_EVENTS_JSON_PROPS,
 }

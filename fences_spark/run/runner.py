@@ -1,0 +1,227 @@
+"""Partition-grain validation runner (north rule, BASELINE.json:6,14):
+per-partition pass/fail verdicts, exact violation rows, metrics +
+lineage, checkpoint/resume.
+
+Design for 10^12 files:
+
+- Work is keyed by a **bucket** = ``pmod(xxhash64(repo, path), n_buckets)``
+  — content-defined, so the same row lands in the same bucket at any
+  cluster size, any input partitioning, and across resumed runs
+  (unlike ``spark_partition_id``, which is a physical accident).
+- One Spark job processes *all pending buckets at once* (buckets are
+  a lineage/retry grain, not a scheduling loop — looping would
+  serialize the cluster).  Batching is available (``max_buckets_per_
+  pass``) to bound the blast radius of a failure.
+- Sinks are parquet tables partitioned by bucket, written with
+  ``partitionOverwriteMode=dynamic`` so re-processing a bucket
+  *replaces* its output — idempotent at the bucket grain.
+- The checkpoint table records (run_id, snapshot_id, bucket, status,
+  rows, secs).  Resume = re-run with the same run_id: completed
+  buckets are skipped by an anti-join of the bucket list against the
+  checkpoint (driver-side — it is ≤ n_buckets rows).
+- Lineage per bucket: input snapshot fingerprint, rule-set hash, rows
+  in, violations out, wall seconds — enough to answer "which input
+  version produced this verdict, with which rules".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fences_spark.compiler.ruleset import RuleSet
+
+
+@dataclass
+class RunConfig:
+    output_dir: str
+    run_id: str
+    snapshot_id: str = "unknown"
+    n_buckets: int = 64
+    bucket_keys: tuple[str, ...] = ("repo", "path")
+    max_buckets_per_pass: int | None = None  # None = all pending in one job
+    key_columns: tuple[str, ...] = ("repo", "path", "commit")
+
+    @property
+    def violations_path(self) -> str:
+        return os.path.join(self.output_dir, "violations")
+
+    @property
+    def verdicts_path(self) -> str:
+        return os.path.join(self.output_dir, "verdicts")
+
+    @property
+    def metrics_path(self) -> str:
+        return os.path.join(self.output_dir, "metrics")
+
+    @property
+    def checkpoint_path(self) -> str:
+        return os.path.join(self.output_dir, "checkpoint")
+
+
+def _ruleset_hash(rs: RuleSet) -> str:
+    blob = json.dumps(rs.describe(), sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+@dataclass
+class RunSummary:
+    run_id: str
+    snapshot_id: str
+    buckets_total: int
+    buckets_skipped: int
+    buckets_processed: int
+    rows_processed: int
+    violations_written: int
+    passes: int = 1
+    secs: float = 0.0
+
+
+class ValidationRunner:
+    def __init__(self, spark: SparkSession, ruleset: RuleSet, cfg: RunConfig):
+        self.spark = spark
+        self.ruleset = ruleset
+        self.cfg = cfg
+        self.rules_hash = _ruleset_hash(ruleset)
+
+    # ------------------------------------------------------------------
+    def _completed_buckets(self) -> set[int]:
+        try:
+            cp = self.spark.read.parquet(self.cfg.checkpoint_path)
+        except Exception:
+            return set()
+        rows = (
+            cp.filter(
+                (F.col("run_id") == self.cfg.run_id)
+                & (F.col("snapshot_id") == self.cfg.snapshot_id)
+                & (F.col("status") == "done")
+            )
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        return {r["bucket"] for r in rows}
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(*[F.col(k) for k in self.cfg.bucket_keys]),
+                   F.lit(self.cfg.n_buckets)).cast("int"),
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, files: DataFrame) -> RunSummary:
+        cfg = self.cfg
+        done = self._completed_buckets()
+        all_buckets = list(range(cfg.n_buckets))
+        pending = [b for b in all_buckets if b not in done]
+        summary = RunSummary(
+            run_id=cfg.run_id,
+            snapshot_id=cfg.snapshot_id,
+            buckets_total=cfg.n_buckets,
+            buckets_skipped=len(done),
+            buckets_processed=0,
+            rows_processed=0,
+            violations_written=0,
+            passes=0,
+        )
+        if not pending:
+            return summary
+
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        t0 = time.time()
+        step = cfg.max_buckets_per_pass or len(pending)
+        df_b = self._with_bucket(files)
+        for i in range(0, len(pending), step):
+            batch = pending[i : i + step]
+            self._run_batch(df_b, batch, summary)
+            summary.passes += 1
+        summary.secs = time.time() - t0
+        return summary
+
+    # ------------------------------------------------------------------
+    def _run_batch(self, df_b: DataFrame, buckets: list[int], summary: RunSummary) -> None:
+        cfg = self.cfg
+        t0 = time.time()
+        if len(buckets) == cfg.n_buckets:
+            part = df_b  # full run: skip the filter, scan everything
+        else:
+            part = df_b.filter(F.col("bucket").isin(buckets))
+
+        res = self.ruleset.apply(part)
+        annotated = res.df.withColumn(
+            "content_sha256",
+            F.sha2(F.col("content"), 256) if "content" in part.columns else F.lit(None).cast("string"),
+        )
+
+        # violations: exact rows, partitioned by bucket (idempotent
+        # dynamic overwrite)
+        keep = [c for c in cfg.key_columns if c in annotated.columns]
+        viol = (
+            annotated.filter(~F.col("row_valid"))
+            .select(
+                "bucket", *keep, F.col("content_sha256"),
+                F.explode("violations").alias("rule_id"),
+            )
+        )
+        viol.write.mode("overwrite").partitionBy("bucket").parquet(cfg.violations_path)
+
+        # verdicts: (bucket, rule_id, n_pass, n_fail, passed)
+        agg_exprs = []
+        for rid in res.rule_ids:
+            agg_exprs.append(F.sum(F.col(rid).cast("long")).alias(f"{rid}__pass"))
+            agg_exprs.append(F.sum((~F.col(rid)).cast("long")).alias(f"{rid}__fail"))
+        per_bucket = annotated.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((~F.col("row_valid")).cast("long")).alias("rows_invalid"),
+            *agg_exprs,
+        )
+        stack = ", ".join(f"'{rid}', {rid}__pass, {rid}__fail" for rid in res.rule_ids)
+        verdicts = per_bucket.selectExpr(
+            "bucket",
+            "rows",
+            f"stack({len(res.rule_ids)}, {stack}) as (rule_id, n_pass, n_fail)",
+        ).withColumn("passed", F.col("n_fail") == 0)
+        verdicts.write.mode("overwrite").partitionBy("bucket").parquet(cfg.verdicts_path)
+
+        # metrics + lineage per bucket (driver-collected: ≤ n_buckets rows)
+        stats = per_bucket.select("bucket", "rows", "rows_invalid").collect()
+        secs = time.time() - t0
+        seen = {r["bucket"] for r in stats}
+        lineage = {
+            "snapshot_id": cfg.snapshot_id,
+            "rules_hash": self.rules_hash,
+            "rule_ids": res.rule_ids,
+            "tiers": res.tiers,
+        }
+        metric_rows = []
+        cp_rows = []
+        for b in buckets:
+            row = next((r for r in stats if r["bucket"] == b), None)
+            n_rows = row["rows"] if row else 0
+            n_inv = row["rows_invalid"] if row else 0
+            metric_rows.append(
+                (cfg.run_id, cfg.snapshot_id, int(b), int(n_rows), int(n_inv),
+                 float(secs), json.dumps(lineage))
+            )
+            cp_rows.append((cfg.run_id, cfg.snapshot_id, int(b), "done", int(n_rows), float(secs)))
+            if b in seen:
+                summary.rows_processed += int(n_rows)
+        summary.buckets_processed += len(buckets)
+        summary.violations_written += sum(r["rows_invalid"] for r in stats)
+
+        self.spark.createDataFrame(
+            metric_rows,
+            "run_id string, snapshot_id string, bucket int, rows long, "
+            "rows_invalid long, secs double, lineage_json string",
+        ).write.mode("append").parquet(cfg.metrics_path)
+        self.spark.createDataFrame(
+            cp_rows,
+            "run_id string, snapshot_id string, bucket int, status string, "
+            "rows long, secs double",
+        ).write.mode("append").parquet(cfg.checkpoint_path)

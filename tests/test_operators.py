@@ -1,0 +1,135 @@
+"""Operator suite: stats profile, integrity (dedup/referential),
+drift (χ²/KS)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fences_spark.operators.drift import (
+    chi2_sf,
+    files_histograms,
+    ks_sf,
+    score_drift,
+)
+from fences_spark.operators.integrity import (
+    dedup_exact,
+    duplicate_exemplars,
+    duplicate_keys,
+    referential_orphans,
+)
+from fences_spark.operators.stats import profile
+from fences_spark.synth import baseline_hist, commits_table, expected_defect_counts, files_table
+
+N = 20_000
+
+
+class TestProfile:
+    def test_exact_profile_matches_direct_queries(self, spark):
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        prof = {r["column"]: r for r in profile(df, ["l_quantity", "l_returnflag"], exact=True).collect()}
+        q = prof["l_quantity"]
+        direct = df.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l_quantity").alias("nd"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+            F.expr("percentile(l_quantity, 0.5)").alias("med"),
+        ).collect()[0]
+        assert q["n_rows"] == direct["n"]
+        assert q["n_distinct"] == direct["nd"]
+        assert q["min_value"] == direct["mn"]
+        assert q["max_value"] == direct["mx"]
+        assert q["q50"] == pytest.approx(direct["med"])
+        assert q["null_rate"] == 0.0
+
+    def test_hll_within_rsd(self, spark):
+        df = spark.range(50_000).select((F.col("id") % 1000).alias("k"))
+        prof = profile(df, ["k"], hll_rsd=0.02).collect()[0]
+        assert abs(prof["n_distinct"] - 1000) / 1000 < 0.1
+
+    def test_null_rate(self, spark):
+        df = spark.range(100).select(
+            F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id")).alias("x")
+        )
+        prof = profile(df, ["x"], exact=True).collect()[0]
+        assert prof["n_null"] == 25
+        assert prof["null_rate"] == pytest.approx(0.25)
+
+
+class TestIntegrity:
+    def test_duplicate_keys_exact(self, spark):
+        files = files_table(spark, N)
+        exp = expected_defect_counts(N)
+        dups = duplicate_keys(files, ["repo", "path", "commit"])
+        assert dups.count() == exp["dup_keys"]
+        assert dups.agg(F.sum("n_copies")).collect()[0][0] == 2 * exp["dup_keys"]
+
+    def test_duplicate_exemplars(self, spark):
+        files = files_table(spark, N)
+        exp = expected_defect_counts(N)
+        extras = duplicate_exemplars(files, ["repo", "path", "commit"], "content")
+        assert extras.count() == exp["dup_keys"]
+
+    def test_dedup_exact_keeps_one_per_key(self, spark):
+        files = files_table(spark, N)
+        exp = expected_defect_counts(N)
+        total = N + exp["dup_keys"]
+        deduped = dedup_exact(files, ["repo", "path", "commit"])
+        assert files.count() == total
+        assert deduped.count() == N
+        assert duplicate_keys(deduped, ["repo", "path", "commit"]).count() == 0
+        assert deduped.columns == files.columns
+
+    def test_dedup_deterministic_across_partitioning(self, spark):
+        files = files_table(spark, 5_000)
+        a = dedup_exact(files.repartition(3), ["repo", "path", "commit"])
+        b = dedup_exact(files.repartition(23), ["repo", "path", "commit"])
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_referential_orphans(self, spark):
+        files = files_table(spark, N)
+        commits = commits_table(spark, N)
+        exp = expected_defect_counts(N)
+        orphans = referential_orphans(files, commits, ["repo", "commit"])
+        distinct_orphan_commits = orphans.select("commit").distinct().count()
+        assert distinct_orphan_commits == exp["orphan_commit_groups"]
+        # plan must be a broadcast join (no shuffle of the fact side)
+        plan = orphans._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+class TestDrift:
+    def test_special_functions(self):
+        # χ²(1) critical value 3.841 ↔ p 0.05; χ²(10) 18.31 ↔ p 0.05
+        assert chi2_sf(3.841, 1) == pytest.approx(0.05, abs=2e-3)
+        assert chi2_sf(18.31, 10) == pytest.approx(0.05, abs=2e-3)
+        assert chi2_sf(0.0, 5) == pytest.approx(1.0)
+        assert ks_sf(0.0, 100) == 1.0
+        assert ks_sf(0.5, 1000) < 1e-6
+
+    def test_no_drift_on_clean_split(self, spark):
+        clean = files_table(spark, N, with_defects=False)
+        base = baseline_hist(spark, N)
+        results = score_drift(files_histograms(clean), base)
+        for r in results:
+            assert not r.drifted(), (r.dim, r.chi2_pvalue, r.ks_pvalue)
+
+    def test_drift_detected_on_shifted_lang(self, spark):
+        files = files_table(spark, 40_000)  # includes the shifted partition
+        base = baseline_hist(spark, 40_000)
+        results = {r.dim: r for r in score_drift(files_histograms(files), base)}
+        assert results["lang"].drifted()
+        # path_depth distribution was not perturbed (dup rows shift it
+        # by ~0.1%, below the alpha=1e-3 radar at this n)
+        assert not results["path_depth"].drifted(alpha=1e-6)
+
+    def test_impossible_bucket_is_infinite_chi2(self, spark):
+        files = files_table(spark, N)  # contains 'klingon'
+        base = baseline_hist(spark, N)
+        results = {r.dim: r for r in score_drift(files_histograms(files), base)}
+        assert math.isinf(results["lang"].chi2_stat)
+        assert results["lang"].chi2_pvalue == 0.0

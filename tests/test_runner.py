@@ -1,0 +1,93 @@
+"""Runner: verdict/violation sinks, checkpoint, resume-skips-done,
+idempotent bucket overwrite, lineage."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from fences_spark.flagship import files_ruleset
+from fences_spark.run import RunConfig, ValidationRunner
+from fences_spark.synth import expected_defect_counts, files_table
+
+N = 10_000
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    return RunConfig(
+        output_dir=str(tmp_path / "out"),
+        run_id="r1",
+        snapshot_id="snapA",
+        n_buckets=8,
+    )
+
+
+def test_full_run_writes_everything(spark, cfg):
+    files = files_table(spark, N)
+    runner = ValidationRunner(spark, files_ruleset(), cfg)
+    s = runner.run(files)
+    exp = expected_defect_counts(N)
+    n_bad_rows_content = exp["null_content"] + exp["empty_content"]
+
+    assert s.buckets_processed == 8 and s.buckets_skipped == 0
+    assert s.rows_processed == N + exp["dup_keys"]
+
+    viol = spark.read.parquet(cfg.violations_path)
+    by_rule = {r["rule_id"]: r["n"] for r in viol.groupBy("rule_id").agg(F.count("*").alias("n")).collect()}
+    assert by_rule["content_present"] == n_bad_rows_content
+    assert by_rule["lang_enum"] == exp["bad_lang"]
+
+    verdicts = spark.read.parquet(cfg.verdicts_path)
+    assert verdicts.select("bucket").distinct().count() == 8
+    failed_buckets = verdicts.filter(~F.col("passed")).select("rule_id").distinct().collect()
+    assert {r["rule_id"] for r in failed_buckets} == {"content_present", "lang_enum"}
+
+    metrics = spark.read.parquet(cfg.metrics_path)
+    assert metrics.count() == 8
+    lin = json.loads(metrics.limit(1).collect()[0]["lineage_json"])
+    assert lin["snapshot_id"] == "snapA"
+    assert set(lin["tiers"].values()) == {"typed"}  # all builtin tier
+
+
+def test_resume_skips_completed(spark, cfg):
+    files = files_table(spark, N)
+    runner = ValidationRunner(spark, files_ruleset(), cfg)
+    s1 = runner.run(files)
+    assert s1.buckets_processed == 8
+    s2 = ValidationRunner(spark, files_ruleset(), cfg).run(files)
+    assert s2.buckets_processed == 0 and s2.buckets_skipped == 8
+
+    # new snapshot id → full re-run
+    cfg2 = RunConfig(output_dir=cfg.output_dir, run_id="r1", snapshot_id="snapB", n_buckets=8)
+    s3 = ValidationRunner(spark, files_ruleset(), cfg2).run(files)
+    assert s3.buckets_processed == 8
+
+
+def test_partial_then_resume_is_idempotent(spark, cfg):
+    files = files_table(spark, N)
+    cfg.max_buckets_per_pass = 3
+    runner = ValidationRunner(spark, files_ruleset(), cfg)
+    s = runner.run(files)
+    assert s.passes == 3  # 3+3+2
+
+    # resume after "crash": simulate by deleting checkpoint rows of
+    # the last pass? simpler: a fresh run with same cfg skips all
+    s2 = ValidationRunner(spark, files_ruleset(), cfg).run(files)
+    assert s2.buckets_processed == 0
+
+    # violations must equal a single-pass run (bucket overwrite is
+    # idempotent, no duplicates across passes)
+    viol = spark.read.parquet(cfg.violations_path)
+    exp = expected_defect_counts(N)
+    assert viol.filter(F.col("rule_id") == "lang_enum").count() == exp["bad_lang"]
+
+
+def test_bucket_is_content_defined(spark, cfg):
+    files = files_table(spark, 2_000)
+    r = ValidationRunner(spark, files_ruleset(), cfg)
+    a = r._with_bucket(files.repartition(2)).select("repo", "path", "bucket")
+    b = r._with_bucket(files.repartition(19)).select("repo", "path", "bucket")
+    assert a.exceptAll(b).count() == 0
