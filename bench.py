@@ -1,0 +1,83 @@
+"""Driver bench contract: run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is collected (or counted) so the full plan executes.  A
+first warm-up action absorbs JVM/codegen startup so the numbers
+measure the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "validate_documents",
+    "violations_events_props",
+    "q1_pricing_summary",
+    "join_customer_orders",
+    "dedup_exact_documents",
+    "dedup_key_count",
+    "dup_key_exemplars",
+    "stats_profile",
+    "profile_exact_orders",
+    "lang_histogram",
+    "topk_events_per_user",
+    "events_json_props",
+    "minhash_lsh_docs",
+    "text_profile_docs",
+    "embedding_topk",
+    "validate_files_200k",
+]
+
+
+def main() -> None:
+    from fences_spark.entry_queries import QUERIES
+    from fences_spark.session import get_spark
+
+    spark = get_spark(app="fences_spark_bench", cores=CPUS, shuffle_partitions=CPUS)
+
+    # warm-up: trivial job through the whole stack
+    spark.range(100000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

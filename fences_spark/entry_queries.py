@@ -350,6 +350,194 @@ FROM events GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text)
+# ---------------------------------------------------------------------------
+
+_MINHASH_N, _BAND, _SHK = 12, 3, 3
+
+
+def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs over documents.  The
+    DuckDB oracle computes the identical md5-seeded signatures and
+    banding in SQL."""
+    from fences_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=_MINHASH_N, band_size=_BAND, shingle_k=_SHK
+    )
+
+
+def _sql_minhash() -> str:
+    n_bands = _MINHASH_N // _BAND
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(shingles, x -> md5('{s}:' || x)))" for s in range(_MINHASH_N)
+    )
+    band_exprs = ", ".join(
+        "md5(" + " || '|' || ".join(f"sig[{b * _BAND + r + 1}]" for r in range(_BAND)) + ")"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_SHK}
+              THEN list_distinct(list_transform(range(1, len(t) - {_SHK} + 2),
+                                 i -> array_to_string(t[i:i+{_SHK - 1}], ' ')))
+              ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+), sig AS (
+  SELECT doc_id, [{sig_exprs}] AS sig FROM sh
+), bands AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS band_hash,
+         unnest(range(1, {n_bands + 1})) AS band_idx
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over colliding pairs, threshold 0.8."""
+    from fences_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.8)
+
+
+SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, shingles, len(shingles) AS n_sh
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' ')))
+                ELSE [array_to_string(t, ' ')] END AS shingles
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+          FROM documents)
+  )
+), ex AS (
+  SELECT doc_id, n_sh, unnest(shingles) AS shingle FROM sh
+)
+SELECT id_a, id_b, ROUND(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+WHERE inter * 1.0 / (na + nb - inter) >= 0.8
+"""
+
+
+def q_text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + quality + fingerprint per doc (language_id and
+    winnowing are covered by pytest; this query keeps the
+    SQL-expressible core oracle-checked)."""
+    from fences_spark.operators.text import (
+        bpeish_token_count,
+        doc_fingerprint,
+        whitespace_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("n_tokens"),
+        bpeish_token_count(F.col("text")).alias("n_bpeish"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+SQL_TEXT_PROFILE = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))::INT AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::INT AS n_bpeish,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for the first 20 vectors
+    (broadcast corpus, zip_with/aggregate dot product)."""
+    from fences_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(queries, emb, k=3).select("query_id", "neighbor_id", "cos", "rank")
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+  FROM q JOIN c ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document — oracle computes the identical
+    signature via list folds in SQL."""
+    from fences_spark.operators.dedup import simhash_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_table(docs, "doc_id", "text", bits=32)
+
+
+SQL_SIMHASH = """
+WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+           t -> ('0x' || substring(md5(t), 1, 15))::BIGINT
+         ) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       list_sum(
+         list_transform(range(0, 32),
+           b -> CASE WHEN COALESCE(list_sum(list_transform(hs, x -> ((x >> b) & 1) * 2 - 1)), 0) > 0
+                     THEN (1::BIGINT << b) ELSE 0 END)
+       )::BIGINT AS sim
+FROM h
+"""
+
+
+def q_validate_files_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship files validation at 200k synthesized rows (bench
+    entry; deterministic synth — rows-only check, the per-rule counts
+    are asserted exactly in pytest against planted-defect formulas)."""
+    from fences_spark.flagship import files_ruleset
+    from fences_spark.synth import files_table
+
+    files = files_table(spark, 200_000)
+    res = files_ruleset().apply(files)
+    return (
+        res.df.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((~F.col("row_valid")).cast("long")).alias("rows_invalid"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_documents": q_validate_documents,
     "violations_events_props": q_violations_events_props,
@@ -365,6 +553,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_events_per_user": q_topk_events_per_user,
     "set_ops_customers": q_set_ops_customers,
     "events_json_props": q_events_json_props,
+    "minhash_lsh_docs": q_minhash_lsh_docs,
+    "ngram_jaccard_docs": q_ngram_jaccard_docs,
+    "text_profile_docs": q_text_profile_docs,
+    "embedding_topk": q_embedding_topk,
+    "simhash_docs": q_simhash_docs,
+    "validate_files_200k": q_validate_files_200k,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -382,4 +576,10 @@ ORACLE_SQL: dict[str, str] = {
     "topk_events_per_user": SQL_TOPK_EVENTS_PER_USER,
     "set_ops_customers": SQL_SET_OPS_CUSTOMERS,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
+    "minhash_lsh_docs": _sql_minhash(),
+    "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
+    "text_profile_docs": SQL_TEXT_PROFILE,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "simhash_docs": SQL_SIMHASH,
+    # validate_files_200k: rows-only (input is synthesized, not an sf table)
 }

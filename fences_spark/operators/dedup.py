@@ -1,0 +1,298 @@
+"""Deduplication suite for training-data pipelines: exact
+(hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard — pure built-in
+Column algebra (no UDFs).
+
+Execution-shape rationale (learned from .explain + thread dumps, and
+the reason these are NOT written as per-row array folds): Spark's
+higher-order functions (transform/aggregate/zip_with) evaluate
+*interpreted*, outside whole-stage codegen, and a column referenced N
+times re-evaluates its subtree N times.  A per-row "array of 12
+minhashes" formulation costs 12 interpreted shingle constructions per
+document on one core.  The formulations below instead **explode
+shingles/tokens once** and express every signature as **codegen'd
+min()/sum() aggregates** — map-side combined, shuffled once per doc,
+parallel across all cores, and linear in corpus size at 10^12 docs.
+
+Hashes are md5 built-ins keyed with explicit seed strings, so the
+DuckDB oracles compute identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased word tokens (alnum runs)."""
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
+
+
+def word_shingles(toks: Column, k: int) -> Column:
+    """k-word shingles as strings; a doc shorter than k words yields
+    its single joined token string."""
+    short = F.array(F.concat_ws(" ", toks))
+    full = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(F.size(toks) >= k, full).otherwise(short)
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, shingle) — distinct per doc; the shingle array is
+    built exactly once per row and immediately exploded."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(tokens(F.col(text_col)), k))).alias("shingle"),
+    )
+
+
+def exploded_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Duplicate groups by exact content hash: (text_md5, n_copies,
+    keep_id) — the canonical hash-groupBy dedup."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_md5"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, n_hashes: int, shingle_k: int = 3
+) -> DataFrame:
+    """(doc_id, sig array<string>) via explode + n_hashes codegen'd
+    ``min(md5(seed || shingle))`` aggregates (one shuffle, map-side
+    combined).  Each seed is an independent pseudo-permutation of
+    shingle space; docs with no token still get a signature (md5 of
+    the empty shingle)."""
+    ex = exploded_shingles(df, id_col, text_col, shingle_k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    sig = ex.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[F.col(f"h{s}") for s in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    shingle_k: int = 3,
+    max_band_group: int = 64,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from banded
+    MinHash.  Band hash = md5 of the concatenated signature slice.
+    Groups larger than ``max_band_group`` in one band are capped
+    (smallest ids kept) so a boilerplate cluster cannot explode
+    quadratically."""
+    n_bands = n_hashes // band_size
+    sig = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws("|", *[
+                    F.element_at("sig", b * band_size + r + 1) for r in range(band_size)
+                ]))
+                for b in range(n_bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+    grouped = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_band_group).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, idx: F.transform(
+                        F.slice(F.col("ids"), idx + 2, F.size(F.col("ids"))),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    return pairs
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
+    *, n_hashes: int = 24, shingle_k: int = 3,
+) -> DataFrame:
+    """Refine candidate pairs with the fraction-of-equal-minhashes
+    Jaccard estimator (signatures computed once, joined twice)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    eq = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return joined.select("id_a", "id_b", (eq / F.lit(n_hashes)).alias("jaccard_est"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct word shingles for every colliding
+    pair: (id_a, id_b, jaccard).  Shingle sets are exploded once;
+    per-doc sizes come from the same exploded relation (no second
+    array construction)."""
+    ex = exploded_shingles(df, id_col, text_col, shingle_k)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    exs = ex.join(sizes, "doc_id")
+    a = exs.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"), "shingle")
+    b = exs.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _token_hash(tok: Column) -> Column:
+    """60-bit integer hash of a token, engine-portable: first 15 hex
+    chars of md5, base-16 → base-10."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> DataFrame:
+    """(doc_id, sim) — SimHash over word tokens: bit b of the
+    signature is the sign of Σ_tokens (2·bit_b(hash(token)) − 1).
+    Explode + ``bits`` codegen'd sum() aggregates (one shuffle),
+    then one select assembles the integer.  Docs with zero tokens
+    get signature 0."""
+    ex = exploded_tokens(df, id_col, text_col)
+    h = _token_hash(F.col("token"))
+    votes = [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per_doc = ex.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    with_sig = per_doc.select("doc_id", sim.alias("sim"))
+    # left join back so token-less docs appear with sim = 0
+    all_ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_ids.join(with_sig, "doc_id", "left").select(
+        "doc_id", F.coalesce("sim", F.lit(0).cast("long")).alias("sim")
+    )
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> DataFrame:
+    """Groups sharing an identical SimHash signature (near-dup
+    candidates at Hamming distance 0)."""
+    return (
+        simhash_table(df, id_col, text_col, bits=bits)
+        .groupBy("sim")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                       bits: int = 32, n_tables: int = 4) -> DataFrame:
+    """Near-dup candidates within Hamming distance: block on
+    ``n_tables`` disjoint bit-bands of the signature (a pair within
+    distance < n_tables collides in ≥1 band), verify by popcount."""
+    sigs = simhash_table(df, id_col, text_col, bits=bits)
+    band_w = bits // n_tables
+    bands = sigs.select(
+        "doc_id", "sim",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("sim"), t * band_w).bitwiseAND(F.lit((1 << band_w) - 1))
+            for t in range(n_tables)
+        ])).alias("band_idx", "band_val"),
+    )
+    a = bands.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"), "band_idx", "band_val")
+    cand = a.join(b, ["band_idx", "band_val"]).filter(F.col("id_a") < F.col("id_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") < n_tables)
+    )
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """Per-row SimHash as a single Column (interpreted higher-order
+    fold — fine for ad-hoc use on small data; use
+    :func:`simhash_table` in pipelines)."""
+    h = F.transform(tokens(text), _token_hash)
+    votes = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.shiftright(x, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1,
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.shiftleft(F.lit(1).cast("long"), b.cast("int")),
+    )
+    return F.aggregate(
+        F.zip_with(votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -1,0 +1,129 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed through Arrow-batched ``mapInPandas``
+operators.
+
+The decode step itself is STUBBED (the sandbox has no image/audio
+codecs): ``decode=\"real\"`` raises NotImplementedError at the point
+where PIL/librosa/pyav would be called; ``decode=\"fake\"`` produces
+deterministic hash-derived features so the full Spark-side plumbing —
+schema, Arrow batch shapes, partitioning, output contract — is real
+and tested end-to-end.  Swapping in a real codec changes one inner
+function, not the operator.
+
+Schema convention for a media table:
+    (media_id long, modality string, payload binary,
+     meta struct<mime:string, width:int, height:int, duration_ms:int>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, modality string, payload binary, "
+    "meta struct<mime:string, width:int, height:int, duration_ms:int>"
+)
+
+FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = f"media_id long, modality string, n_bytes long, feature array<float>"
+_FRAMES_SCHEMA = "media_id long, frame_idx int, frame_sha256 string"
+
+
+def synth_media_table(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic fake media rows (payload = seeded bytes) for
+    testing the plumbing; generated distributed via spark.range."""
+    df = spark.range(n).withColumnRenamed("id", "media_id")
+    payload = F.sha2(F.concat(F.lit("media"), F.col("media_id").cast("string")), 256).cast("binary")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("media_id"), 3) + 1).cast("int"),
+    )
+    meta = F.struct(
+        F.concat(F.lit("x-fake/"), modality).alias("mime"),
+        (F.pmod(F.col("media_id"), 640) + 1).cast("int").alias("width"),
+        (F.pmod(F.col("media_id"), 480) + 1).cast("int").alias("height"),
+        (F.pmod(F.col("media_id"), 90000)).cast("int").alias("duration_ms"),
+    )
+    return df.select("media_id", modality.alias("modality"), payload.alias("payload"), meta.alias("meta"))
+
+
+def _fake_feature(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a decoded-content embedding."""
+    h = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in h[:FEATURE_DIM]]
+
+
+def extract_features(df: DataFrame, *, decode: str = "fake", batch_hint: int = 256) -> DataFrame:
+    """Per-media feature vector via mapInPandas (Arrow batches, one
+    Python call per batch — the sanctioned slow path for binary
+    payloads that builtins cannot decode)."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                # the real implementation would dispatch on meta.mime:
+                #   image → PIL.Image.open(io.BytesIO(payload))
+                #   audio → soundfile/librosa decode
+                #   video → pyav keyframe iterator
+                raise NotImplementedError(
+                    "real decode needs image/audio codecs absent from this environment"
+                )
+            feats = pdf["payload"].map(lambda p: _fake_feature(bytes(p) if p is not None else b""))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(op, schema=_FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, *, every_ms: int = 10_000, max_frames: int = 8,
+                  decode: str = "fake") -> DataFrame:
+    """Video frame sampling: one output row per sampled frame.  Fake
+    decode derives frame hashes from (payload, frame index); a real
+    decoder would seek to frame_idx * every_ms."""
+    videos = df.filter(F.col("modality") == "video")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError("real video decode unavailable in this environment")
+            rows = {"media_id": [], "frame_idx": [], "frame_sha256": []}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                dur = int(meta["duration_ms"]) if meta is not None else 0
+                n = min(max_frames, max(dur // every_ms, 1))
+                for i in range(n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_sha256"].append(
+                        hashlib.sha256((bytes(payload) if payload is not None else b"") + i.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return videos.mapInPandas(op, schema=_FRAMES_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize placeholder: passes metadata through with the new
+    target dims recorded; payload untouched (a real implementation
+    re-encodes).  Kept builtin-only — no Python needed to adjust
+    metadata."""
+    new_meta = F.struct(
+        F.col("meta.mime").alias("mime"),
+        F.lit(width).cast("int").alias("width"),
+        F.lit(height).cast("int").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+    return df.withColumn("meta", new_meta)

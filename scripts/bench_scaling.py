@@ -1,0 +1,128 @@
+"""Two-cluster-size scaling evidence (north rule; sandbox substitution
+per BASELINE.md): run the identical validation job via
+``spark-submit --py-files`` at local[8] (N) and local[32] (4N) on the
+same deterministic input, report throughput at both plus
+``efficiency = (rows/s @ 4N) / (4 × rows/s @ N)``, and write
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import zipfile
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROWS = int(os.environ.get("SCALE_ROWS", "2000000"))
+# MODE=local        → one JVM, N threads (shared heap/GC — pessimistic)
+# MODE=local-cluster → real executor JVMs: N = 2 executors × 4 cores,
+#                      4N = 8 executors × 4 cores (each its own heap,
+#                      the faithful emulation of multi-executor sizing)
+MODE = os.environ.get("SCALE_MODE", "local")
+EXEC_MEM_MB = int(os.environ.get("SCALE_EXEC_MEM_MB", "6144"))
+if MODE == "local-cluster":
+    LEVELS = [("N", f"local-cluster[2,4,{EXEC_MEM_MB}]", 8),
+              ("4N", f"local-cluster[8,4,{EXEC_MEM_MB}]", 32)]
+else:
+    LEVELS = [("N", "local[8]", 8), ("4N", "local[32]", 32)]
+
+
+def make_pyfiles_zip() -> str:
+    out = os.path.join(tempfile.mkdtemp(), "fences_spark.zip")
+    with zipfile.ZipFile(out, "w") as z:
+        pkg = os.path.join(REPO, "fences_spark")
+        for root, _dirs, names in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for n in names:
+                if n.endswith(".py"):
+                    p = os.path.join(root, n)
+                    z.write(p, os.path.relpath(p, REPO))
+    return out
+
+
+def spark_submit_bin() -> str:
+    exe = shutil.which("spark-submit")
+    if exe:
+        return exe
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+def run_level(label: str, master: str, cores: int, zip_path: str) -> dict:
+    cmd = [
+        spark_submit_bin(),
+        "--master", master,
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        "--py-files", zip_path,
+        os.path.join(REPO, "scripts", "submit_validate.py"),
+        "--rows", str(ROWS),
+        "--data-dir", os.environ.get("SCALE_DATA_DIR", "/tmp/fences_scale_data"),
+        "--shuffle-partitions", "64",  # fixed across levels (sized for 4N)
+        "--label", label,
+    ]
+    print("+", " ".join(cmd), file=sys.stderr)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not line:
+        print(out.stdout[-2000:], file=sys.stderr)
+        print(out.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(f"no JSON from {label}")
+    return json.loads(line[-1])
+
+
+def main() -> None:
+    zip_path = make_pyfiles_zip()
+    results = [run_level(label, master, cores, zip_path) for label, master, cores in LEVELS]
+    r_n, r_4n = results
+    efficiency = r_4n["rows_per_sec"] / (4 * r_n["rows_per_sec"])
+    report = {
+        "rows": ROWS,
+        "N": r_n,
+        "4N": r_4n,
+        "efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+    }
+    print(json.dumps(report))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — scaling evidence (N vs 4N)
+
+North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
+executors (BASELINE.json:2,14).  Sandbox substitution per BASELINE.md:
+the identical validation job (deterministic synthetic files table →
+flagship RuleSet → sha256 invariant → per-bucket verdict aggregation)
+launched via `spark-submit --py-files` at two cluster sizes
+(mode={MODE}: local-cluster spawns real executor JVMs — 2 vs 8
+executors × 4 cores — each with its own heap and GC, the faithful
+emulation of N vs 4N executors; plain local[8/32] shares one heap).
+
+Generated: {datetime.now(timezone.utc).isoformat(timespec="seconds")}
+Input rows: {ROWS:,} (files_table, seed-deterministic, byte-identical at
+both levels — verified by tests/test_synth_flagship.py::test_determinism_across_parallelism)
+Confs held fixed across levels: shuffle.partitions=64, AQE on, same driver memory.
+
+| level | master | cores | rows/s | wall s |
+|---|---|---|---|---|
+| N  | {LEVELS[0][1]} | {r_n["cores"]} | {r_n["rows_per_sec"]:,.0f} | {r_n["secs"]} |
+| 4N | {LEVELS[1][1]} | {r_4n["cores"]} | {r_4n["rows_per_sec"]:,.0f} | {r_4n["secs"]} |
+
+**efficiency = (rows/s @ 4N) / (4 × rows/s @ N) = {efficiency:.3f}**
+(target ≥ 0.8 → {"PASS" if efficiency >= 0.8 else "FAIL"})
+
+Command: `python scripts/bench_scaling.py` (ROWS via $SCALE_ROWS).
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,223 @@
+"""Training-data pipeline operators: dedup suite, similarity search,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fences_spark.operators import dedup as D
+from fences_spark.operators import similarity as S
+from fences_spark.operators import text as TX
+from fences_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_media_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # plant exact + near duplicates with known ids
+    base = docs.limit(10).select("doc_id", "text")
+    exact = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    near = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzz")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(exact).unionByName(near)
+
+
+class TestMinHashLSH:
+    def test_exact_dups_always_pair(self, spark, docs_with_dups):
+        pairs = D.minhash_lsh_pairs(docs_with_dups, "doc_id", "text").collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        for i in range(10):
+            assert (i, i + 100000) in got, f"exact dup {i} not paired"
+
+    def test_near_dups_mostly_pair(self, spark, docs_with_dups):
+        pairs = D.minhash_lsh_pairs(docs_with_dups, "doc_id", "text").collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        hits = sum((i, i + 200000) in got for i in range(10))
+        assert hits >= 7, f"only {hits}/10 near dups paired"
+
+    def test_jaccard_estimate_close_to_exact(self, spark, docs_with_dups):
+        pairs = D.minhash_lsh_pairs(docs_with_dups, "doc_id", "text")
+        est = {
+            (r["id_a"], r["id_b"]): r["jaccard_est"]
+            for r in D.minhash_jaccard_estimate(docs_with_dups, pairs, "doc_id", "text").collect()
+        }
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(docs_with_dups, "doc_id", "text", threshold=0.0).collect()
+        }
+        for pair, e in est.items():
+            if pair in exact:
+                assert abs(e - exact[pair]) < 0.25, (pair, e, exact[pair])
+        for i in range(10):
+            assert est[(i, i + 100000)] == 1.0
+
+
+class TestNgramJaccard:
+    def test_matches_python_reference(self, spark):
+        rows = [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(df, "doc_id", "text", shingle_k=3, threshold=0.0).collect()
+        }
+
+        def shingles(t):
+            w = t.split()
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        s1, s2 = shingles(rows[0][1]), shingles(rows[1][1])
+        expect = len(s1 & s2) / len(s1 | s2)
+        assert got[(1, 2)] == pytest.approx(expect, abs=1e-6)
+        assert (1, 3) not in got  # no shared shingle → never joined
+
+
+class TestSimHash:
+    def test_identical_same_signature(self, spark, docs_with_dups):
+        groups = D.simhash_dup_groups(docs_with_dups, "doc_id", "text").collect()
+        # every planted exact dup must share a signature with its source
+        sims = D.simhash_table(docs_with_dups, "doc_id", "text").collect()
+        by_id = {r["doc_id"]: r["sim"] for r in sims}
+        for i in range(10):
+            assert by_id[i] == by_id[i + 100000]
+        assert len(groups) >= 1
+
+    def test_near_pairs_small_hamming(self, spark, docs_with_dups):
+        pairs = D.simhash_near_pairs(docs_with_dups, "doc_id", "text").collect()
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+        assert all(h < 4 for h in got.values())
+        hits = sum((i, i + 100000) in got for i in range(10))
+        assert hits == 10  # identical docs: hamming 0, always found
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def test_cosine_topk_matches_numpy(self, spark, emb):
+        queries = emb.limit(5)
+        got = S.cosine_topk(queries, emb, k=3).collect()
+        rows = emb.collect()
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+        for q in queries.collect():
+            qv = vecs[q["vec_id"]]
+            sims = sorted(
+                (
+                    (round(float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v))), 6), -i)
+                    for i, v in vecs.items()
+                    if i != q["vec_id"]
+                ),
+                reverse=True,
+            )[:3]
+            expect = {-i for _, i in sims}
+            mine = {r["neighbor_id"] for r in got if r["query_id"] == q["vec_id"]}
+            assert mine == expect, (q["vec_id"], mine, expect)
+
+    def test_ann_recall(self, spark, emb):
+        queries = emb.limit(50)
+        exact = S.cosine_topk(queries, emb, k=5)
+        approx = S.ann_topk_lsh(queries, emb, k=5)
+        r = S.recall_at_k(exact, approx, 5)
+        assert r >= 0.7, f"recall@5 = {r}"
+
+
+class TestText:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello, world! 42 foo_bar"), (2, ""), (3, None)],
+            "id long, text string",
+        )
+        out = {r["id"]: r for r in df.select(
+            "id",
+            TX.whitespace_token_count(F.col("text")).alias("n"),
+            TX.bpeish_token_count(F.col("text")).alias("nb"),
+        ).collect()}
+        # tokens: hello world 42 foo bar → 5
+        assert out[1]["n"] == 5
+        # bpe-ish: Hello , world ! 4 2 foo _ bar → 9
+        assert out[1]["nb"] == 9
+        assert out[2]["n"] == 0
+
+    def test_language_id(self, spark):
+        rows = [
+            (1, "the cat and the dog of it is that for"),
+            (2, "der hund und die katze ist von den nicht"),
+            (3, "le chat et la maison est pour les de"),
+            (4, "el perro y la casa es que los un una"),
+            (5, "qwerty zxcvb"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r["id"]: r["lang"] for r in df.select("id", TX.language_id(F.col("text")).alias("lang")).collect()}
+        assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "es"
+        assert got[5] == "und"
+
+    def test_quality_score_bounds(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        stats = docs.select(TX.quality_score(F.col("text")).alias("q")).agg(
+            F.min("q").alias("mn"), F.max("q").alias("mx")
+        ).collect()[0]
+        assert 0.0 <= stats["mn"] <= stats["mx"] <= 1.0
+
+    def test_fingerprints(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Some Document!"), (2, "some   document"), (3, "other text")],
+            "id long, text string",
+        )
+        fp = {r["id"]: r["f"] for r in df.select("id", TX.doc_fingerprint(F.col("text")).alias("f")).collect()}
+        assert fp[1] == fp[2]  # normalization-invariant
+        assert fp[1] != fp[3]
+
+    def test_winnow_subset_on_containment(self, spark):
+        a = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame([(1, a), (2, a + " with an extra tail sentence")],
+                                   "id long, text string")
+        rows = {r["id"]: set(r["w"]) for r in df.select(
+            "id", TX.winnow_fingerprints(F.col("text")).alias("w")).collect()}
+        overlap = len(rows[1] & rows[2]) / len(rows[1])
+        assert overlap >= 0.8  # winnowing is robust to appends
+
+    def test_text_profile_runs(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        prof = TX.text_profile(docs, "doc_id", "text")
+        assert prof.count() == docs.count()
+        assert "quality" in prof.columns and "lang_pred" in prof.columns
+
+
+class TestMultimodal:
+    def test_feature_extraction_shapes(self, spark):
+        media = synth_media_table(spark, 100)
+        feats = extract_features(media)
+        rows = feats.collect()
+        assert len(rows) == 100
+        assert all(len(r["feature"]) == 8 for r in rows)
+        assert all(0.0 <= x <= 1.0 for r in rows for x in r["feature"])
+        # deterministic
+        again = extract_features(synth_media_table(spark, 100)).collect()
+        assert {r["media_id"]: tuple(r["feature"]) for r in rows} == {
+            r["media_id"]: tuple(r["feature"]) for r in again
+        }
+
+    def test_frame_sampling(self, spark):
+        media = synth_media_table(spark, 60)
+        frames = sample_frames(media, every_ms=10_000, max_frames=4)
+        agg = frames.groupBy("media_id").count().collect()
+        assert all(1 <= r["count"] <= 4 for r in agg)
+        n_videos = media.filter("modality = 'video'").count()
+        assert len(agg) == n_videos
+
+    def test_real_decode_raises(self, spark):
+        media = synth_media_table(spark, 3)
+        with pytest.raises(Exception, match="NotImplementedError|real decode"):
+            extract_features(media, decode="real").collect()
