@@ -40,7 +40,9 @@ class Rule:
     mode:
       - "typed": the column's Spark type carries the structure
         (strings, numbers, arrays, structs, maps);
-      - "json":  the column holds a JSON document as text.
+      - "json":  the column holds a JSON document as text;
+      - "xml":   the column holds an XML document as text (XSD-subset
+        dialect, fences_spark.schema.xsd).
     """
 
     rule_id: str
@@ -52,6 +54,10 @@ class Rule:
         col = df[self.column]
         if self.mode == "json":
             return compile_json(self.schema, col)
+        if self.mode == "xml":
+            from fences_spark.schema.xsd import compile_xml_udf
+
+            return compile_xml_udf(self.schema, col), "arrow_udf"
         dtype = df.schema[self.column].dataType
         try:
             return TypedCompiler(self.schema).compile(col, dtype), "typed"

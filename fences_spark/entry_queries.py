@@ -520,6 +520,163 @@ FROM h
 """
 
 
+def q_rollup_order_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets margins (SURVEY.md §2.B aggregations — the
+    ConfusionMatrix row/col-totals analog): rollup over
+    (status, priority) with grouping_id."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+
+
+SQL_ROLLUP_ORDER_MARGINS = """
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+       COUNT(*)::BIGINT AS n,
+       (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions (SURVEY.md §2.B): truncate o_orderdate to
+    (year, month), count + revenue per month."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT EXTRACT(year FROM o_orderdate)::INT AS y,
+       EXTRACT(month FROM o_orderdate)::INT AS m,
+       COUNT(*)::BIGINT AS n_orders,
+       (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS revenue
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit under a total order (price desc, key asc) —
+    SURVEY.md §2.B sorts/limits."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("price"))
+    )
+
+
+SQL_TOP10_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice::DOUBLE AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document (length / punctuation /
+    stopword ratios) — training-data text analysis, all JVM Column
+    algebra (operators.text.quality_features)."""
+    from fences_spark.operators.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio_en"].alias("stopword_ratio_en"),
+    )
+
+
+_SW_EN = "'the','a','and','of','to','in','is','that','it','for'"
+
+SQL_QUALITY_DOCS = f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       len(toks)::BIGINT AS n_tokens,
+       ROUND(CASE WHEN n_chars > 0
+                  THEN len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / n_chars
+                  ELSE 0.0 END, 6) AS alpha_ratio,
+       ROUND(CASE WHEN n_chars > 0
+                  THEN len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}]')) * 1.0 / n_chars
+                  ELSE 0.0 END, 6) AS punct_ratio,
+       ROUND(CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> x IN ({_SW_EN}))) * 1.0 / len(toks)
+                  ELSE 0.0 END, 6) AS stopword_ratio_en
+FROM t
+"""
+
+
+def q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID histogram (stopword-hit argmax heuristic,
+    operators.text.language_id) over documents."""
+    from fences_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(language_id(F.col("text")).alias("lang_id"))
+        .groupBy("lang_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SW_SQL = {
+    "en": _SW_EN,
+    "de": "'der','die','das','und','ist','von','zu','mit','den','nicht'",
+    "fr": "'le','la','les','et','de','un','une','est','que','pour'",
+    "es": "'el','la','los','las','y','de','un','una','es','que'",
+}
+
+SQL_LANGID_DOCS = f"""
+WITH s AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), sc AS (
+  SELECT len(toks) AS n,
+         {", ".join(f"len(list_filter(toks, x -> x IN ({words}))) AS s_{lang}" for lang, words in _SW_SQL.items())}
+  FROM s
+)
+SELECT CASE
+         WHEN n = 0 OR greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         ELSE 'es'
+       END AS lang_id,
+       COUNT(*)::BIGINT AS n_docs
+FROM sc GROUP BY 1
+"""
+
+
 def q_validate_files_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship files validation at 200k synthesized rows (bench
     entry; deterministic synth — rows-only check, the per-rule counts
@@ -558,6 +715,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile_docs": q_text_profile_docs,
     "embedding_topk": q_embedding_topk,
     "simhash_docs": q_simhash_docs,
+    "rollup_order_margins": q_rollup_order_margins,
+    "orders_by_month": q_orders_by_month,
+    "top10_orders": q_top10_orders,
+    "quality_docs": q_quality_docs,
+    "langid_docs": q_langid_docs,
     "validate_files_200k": q_validate_files_200k,
 }
 
@@ -581,5 +743,10 @@ ORACLE_SQL: dict[str, str] = {
     "text_profile_docs": SQL_TEXT_PROFILE,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "simhash_docs": SQL_SIMHASH,
+    "rollup_order_margins": SQL_ROLLUP_ORDER_MARGINS,
+    "orders_by_month": SQL_ORDERS_BY_MONTH,
+    "top10_orders": SQL_TOP10_ORDERS,
+    "quality_docs": SQL_QUALITY_DOCS,
+    "langid_docs": SQL_LANGID_DOCS,
     # validate_files_200k: rows-only (input is synthesized, not an sf table)
 }

@@ -31,6 +31,13 @@ if MODE == "local-cluster":
 else:
     LEVELS = [("N", "local[8]", 8), ("4N", "local[32]", 32)]
 
+# Pin each level's ENTIRE process tree to exactly `cores` CPUs with
+# taskset.  Without this, the local[8] JVM's GC / Netty / codegen
+# threads spill onto the machine's idle 24 cores, inflating the N
+# baseline — an 8-core cluster has 8 cores for *everything*, so the
+# pinned run is the faithful emulation (BASELINE.md sandbox rule).
+PIN = os.environ.get("SCALE_PIN", "1") == "1" and shutil.which("taskset") is not None
+
 
 def make_pyfiles_zip() -> str:
     out = os.path.join(tempfile.mkdtemp(), "fences_spark.zip")
@@ -56,7 +63,7 @@ def spark_submit_bin() -> str:
 
 
 def run_level(label: str, master: str, cores: int, zip_path: str) -> dict:
-    cmd = [
+    cmd = ([shutil.which("taskset"), "-c", f"0-{cores - 1}"] if PIN else []) + [
         spark_submit_bin(),
         "--master", master,
         "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
