@@ -492,6 +492,57 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup):
+    exact mode, threshold 0.2 (synthetic vectors are near-orthogonal,
+    so a high threshold would return nothing at sf0.01)."""
+    from fences_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.2)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.2
+"""
+
+
+def q_embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function coverage (SURVEY.md §2.B array fns): per-vector
+    dim/min/max/mean/L2 via size/array_min/array_max/aggregate — all
+    JVM builtins, no UDF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    sq = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.array_min(v), 6).alias("vmin"),
+        F.round(F.array_max(v), 6).alias("vmax"),
+        F.round(total / F.size(v), 6).alias("vmean"),
+        F.round(F.sqrt(sq), 6).alias("l2norm"),
+    )
+
+
+SQL_EMBEDDING_VECTOR_STATS = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id,
+       len(e)::INT AS dim,
+       ROUND(list_min(e), 6) AS vmin,
+       ROUND(list_max(e), 6) AS vmax,
+       ROUND(list_sum(e) / len(e), 6) AS vmean,
+       ROUND(sqrt(list_dot_product(e, e)), 6) AS l2norm
+FROM v
+"""
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document — oracle computes the identical
     signature via list folds in SQL."""
@@ -714,6 +765,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "text_profile_docs": q_text_profile_docs,
     "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_vector_stats": q_embedding_vector_stats,
     "simhash_docs": q_simhash_docs,
     "rollup_order_margins": q_rollup_order_margins,
     "orders_by_month": q_orders_by_month,
@@ -742,6 +795,8 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
     "text_profile_docs": SQL_TEXT_PROFILE,
     "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_vector_stats": SQL_EMBEDDING_VECTOR_STATS,
     "simhash_docs": SQL_SIMHASH,
     "rollup_order_margins": SQL_ROLLUP_ORDER_MARGINS,
     "orders_by_month": SQL_ORDERS_BY_MONTH,

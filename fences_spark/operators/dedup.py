@@ -84,9 +84,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<string>) via explode + n_hashes codegen'd
     ``min(md5(seed || shingle))`` aggregates (one shuffle, map-side
-    combined).  Each seed is an independent pseudo-permutation of
-    shingle space; docs with no token still get a signature (md5 of
-    the empty shingle)."""
+    combined: the shuffle carries only one partial signature row per
+    doc per partition, NOT the exploded shingles).  Each seed is an
+    independent pseudo-permutation of shingle space; docs with no
+    token still get a signature (md5 of the empty shingle).
+
+    Implementation note: the tempting fully-narrow form —
+    ``array(array_min(transform(shingles, x -> md5(seed||x))) for each
+    seed)`` over a staged shingle column — MISCOMPILES on Spark 4.1
+    (local[32]): observed cross-row contamination (per-row minima
+    below the row's own true minimum, nondeterministic across runs)
+    once many higher-order transforms share one projected array input.
+    A single ``aggregate``+``zip_with`` fold is correct but no faster
+    than this explode form, so we keep the explode + partial-agg
+    shape, which is deterministic and DuckDB-oracle-exact
+    (tests/test_training_ops.py, entry ``minhash_lsh_docs``)."""
     ex = exploded_shingles(df, id_col, text_col, shingle_k)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")

@@ -155,6 +155,143 @@ def ann_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    use_lsh_prefilter: bool = False,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: str = "neardup",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    cos ≥ threshold and id_a < id_b.
+
+    Exact mode (default) is the O(N²/2) self-join — correct at any
+    threshold, oracle-comparable, and fine when one side broadcasts.
+    At 100 TB scale set ``use_lsh_prefilter=True``: candidates are
+    restricted to sign-sketch collisions (any of ``n_tables`` tables),
+    turning the cross join into an equi-join on (table, bucket); the
+    re-rank by exact cosine keeps precision 1.0 (recall < 1 is the
+    standard LSH trade-off, measured by tests against exact mode)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    if use_lsh_prefilter:
+        if dim is None:
+            raise ValueError("dim is required for the LSH prefilter")
+
+        def sketch(side: DataFrame, idc: str, vc: str) -> DataFrame:
+            buckets = F.array(*[
+                lsh_bucket(F.col(vc), dim, n_planes, f"{seed}:{t}") for t in range(n_tables)
+            ])
+            return side.select(idc, vc, F.posexplode(buckets).alias("tbl", "bucket"))
+
+        cand = (
+            sketch(a, "id_a", "va")
+            .join(sketch(b, "id_b", "vb"), ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .distinct()
+        )
+    else:
+        cand = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        cand.select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + per-cell search
+# ---------------------------------------------------------------------------
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 7,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Train the coarse quantizer with Spark MLlib KMeans (distributed
+    Lloyd iterations; the model is tiny — n_cells × dim doubles — and
+    is returned driver-side to be baked into the search plan as
+    literals, i.e. broadcast-by-plan)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids (squared-L2),
+    fully unrolled into the expression tree — no UDF."""
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ])
+    ranked = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
+            ),
+            lambda s: s["cell"],
+        ),
+        1,
+        nprobe,
+    )
+    return ranked
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF search: corpus rows are assigned to their nearest cell
+    (partitioning the index); each query probes its ``nprobe`` nearest
+    cells and re-ranks candidates by exact cosine.  The join is an
+    equi-join on cell id — shuffle keyed by cell; cell population is
+    balanced by k-means, residual skew handled by AQE."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cell", _nearest_cells(F.col("cv"), centroids, 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("cell", F.explode(_nearest_cells(F.col("qv"), centroids, nprobe)))
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int) -> float:
     """Fraction of exact top-k pairs recovered by the approximate
     result (driver-side scalar)."""

@@ -145,6 +145,26 @@ class ValidationRunner:
         return summary
 
     # ------------------------------------------------------------------
+    def _clear_bucket_partitions(self, path: str, buckets: list[int]) -> None:
+        """Dynamic partition overwrite only replaces partitions that
+        appear in the NEW data — a re-processed bucket whose new
+        result is empty (e.g. zero violations after a crash-resume)
+        would otherwise keep its stale files.  Explicitly drop the
+        batch's partitions first (Hadoop FS API — works on any
+        Hadoop-compatible FS; the Iceberg sink's overwritePartitions
+        subsumes this)."""
+        jvm = self.spark.sparkContext._jvm  # noqa: SLF001
+        jsc = self.spark.sparkContext._jsc  # noqa: SLF001
+        conf = jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return
+        for b in buckets:
+            bp = jvm.org.apache.hadoop.fs.Path(path, f"bucket={b}")
+            if fs.exists(bp):
+                fs.delete(bp, True)
+
     def _run_batch(self, df_b: DataFrame, buckets: list[int], summary: RunSummary) -> None:
         cfg = self.cfg
         t0 = time.time()
@@ -169,6 +189,7 @@ class ValidationRunner:
                 F.explode("violations").alias("rule_id"),
             )
         )
+        self._clear_bucket_partitions(cfg.violations_path, buckets)
         viol.write.mode("overwrite").partitionBy("bucket").parquet(cfg.violations_path)
 
         # verdicts: (bucket, rule_id, n_pass, n_fail, passed)
@@ -187,6 +208,7 @@ class ValidationRunner:
             "rows",
             f"stack({len(res.rule_ids)}, {stack}) as (rule_id, n_pass, n_fail)",
         ).withColumn("passed", F.col("n_fail") == 0)
+        self._clear_bucket_partitions(cfg.verdicts_path, buckets)
         verdicts.write.mode("overwrite").partitionBy("bucket").parquet(cfg.verdicts_path)
 
         # metrics + lineage per bucket (driver-collected: ≤ n_buckets rows)

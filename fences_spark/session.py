@@ -31,7 +31,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 16g, not the whole box: an oversized G1 heap spends most of
+        # its time in kernel page-zeroing as regions uncommit/recommit
+        # (measured on this host: 48g heap → 50-94% system CPU and 3×
+        # slower at 32 cores).  Executors on a real cluster are sized
+        # to their share, never the machine.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

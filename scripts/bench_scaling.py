@@ -18,7 +18,8 @@ import zipfile
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ROWS = int(os.environ.get("SCALE_ROWS", "2000000"))
+ROWS = int(os.environ.get("SCALE_ROWS", "80000000"))
+DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "16g")
 # MODE=local        → one JVM, N threads (shared heap/GC — pessimistic)
 # MODE=local-cluster → real executor JVMs: N = 2 executors × 4 cores,
 #                      4N = 8 executors × 4 cores (each its own heap,
@@ -66,7 +67,13 @@ def run_level(label: str, master: str, cores: int, zip_path: str) -> dict:
     cmd = ([shutil.which("taskset"), "-c", f"0-{cores - 1}"] if PIN else []) + [
         spark_submit_bin(),
         "--master", master,
-        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        # 16g, NOT bigger: an oversized G1 heap on this box spends most
+        # of its time in kernel page-zeroing as G1 uncommits/recommits
+        # regions between runs (observed: 48g heap → 50-94% system CPU,
+        # 3× slower at 32 cores). On a real cluster each executor heap
+        # is sized to its share, never the whole machine.
+        "--driver-memory", DRIVER_MEM,
+        "--conf", f"spark.driver.extraJavaOptions=-Xms{DRIVER_MEM} -XX:+AlwaysPreTouch",
         "--py-files", zip_path,
         os.path.join(REPO, "scripts", "submit_validate.py"),
         "--rows", str(ROWS),
@@ -84,8 +91,27 @@ def run_level(label: str, master: str, cores: int, zip_path: str) -> dict:
     return json.loads(line[-1])
 
 
+def gen_data(zip_path: str) -> None:
+    """Materialize the input once, unpinned at full parallelism —
+    generation is the untimed phase, no reason to run it on N cores."""
+    cmd = [
+        spark_submit_bin(),
+        "--master", "local[32]",
+        "--driver-memory", DRIVER_MEM,
+        "--py-files", zip_path,
+        os.path.join(REPO, "scripts", "submit_validate.py"),
+        "--rows", str(ROWS),
+        "--data-dir", os.environ.get("SCALE_DATA_DIR", "/tmp/fences_scale_data"),
+        "--label", "gen",
+        "--generate-only",
+    ]
+    print("+", " ".join(cmd), file=sys.stderr)
+    subprocess.run(cmd, check=True, timeout=3600)
+
+
 def main() -> None:
     zip_path = make_pyfiles_zip()
+    gen_data(zip_path)
     results = [run_level(label, master, cores, zip_path) for label, master, cores in LEVELS]
     r_n, r_4n = results
     efficiency = r_4n["rows_per_sec"] / (4 * r_n["rows_per_sec"])

@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=64)
     ap.add_argument("--label", default="run")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--generate-only", action="store_true",
+                    help="materialize the input table and exit (untimed phase)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -37,7 +39,10 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # one split per ~54MB gen file (each is a single parquet row
+        # group — smaller split targets only create empty splits that
+        # add scheduling noise at the task tail)
+        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -51,17 +56,21 @@ def main() -> None:
     if not os.path.exists(os.path.join(data, "_SUCCESS")):
         # untimed, deterministic; 128 output files so any core count
         # gets balanced input splits
-        files_table(spark, args.rows).repartition(128).write.mode("overwrite").parquet(data)
+        # 256 output files → ~54MB each at 80M rows: 8 full waves at 32
+        # cores, 32 at 8 — fine-grained enough that the task tail is
+        # <1/8 of a wave at either level
+        files_table(spark, args.rows).repartition(256).write.mode("overwrite").parquet(data)
+    if args.generate_only:
+        print(json.dumps({"label": args.label, "generated": args.rows}))
+        spark.stop()
+        return
 
-    # warm-up (JIT/codegen), excluded from timing
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    files = spark.read.parquet(data)
-    files_ruleset().apply(files.limit(10_000)).df.selectExpr(
-        "sum(cast(row_valid as long))"
-    ).collect()
-
-    def run_once() -> tuple[float, int, int]:
-        t0 = time.time()
+    def build_final():
+        # Fresh plan per run: reusing one DataFrame object across
+        # repeats lets Spark reuse the previous run's shuffle map
+        # outputs, so only the final reduce would re-execute.  A fresh
+        # lineage forces the whole scan→validate→aggregate pipeline;
+        # codegen stays warm via Janino's cache (same query shape).
         fl = spark.read.parquet(data)
         res = files_ruleset().apply(fl)
         annotated = res.df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
@@ -71,9 +80,15 @@ def main() -> None:
             F.sum((~F.col("row_valid")).cast("long")).alias("rows_invalid"),
             F.max(F.length("content_sha256")).alias("sha_len"),
         )
-        stats = agg.agg(
-            F.sum("rows").alias("rows"), F.sum("rows_invalid").alias("invalid")
-        ).collect()[0]
+        return agg.agg(F.sum("rows").alias("rows"), F.sum("rows_invalid").alias("invalid"))
+
+    # warm-up (JIT/codegen/heap commit), excluded from timing: run the
+    # exact pipeline once end-to-end
+    build_final().collect()
+
+    def run_once() -> tuple[float, int, int]:
+        t0 = time.time()
+        stats = build_final().collect()[0]
         return time.time() - t0, int(stats["rows"]), int(stats["invalid"])
 
     best = None

@@ -85,6 +85,28 @@ def test_partial_then_resume_is_idempotent(spark, cfg):
     assert viol.filter(F.col("rule_id") == "lang_enum").count() == exp["bad_lang"]
 
 
+def test_reprocessed_bucket_clears_stale_violations(spark, cfg):
+    """A re-processed bucket whose new result has ZERO violations must
+    not keep stale violation files (dynamic partition overwrite alone
+    would — it only replaces partitions present in the new data)."""
+    files = files_table(spark, N)
+    ValidationRunner(spark, files_ruleset(), cfg).run(files)
+    viol_before = spark.read.parquet(cfg.violations_path).count()
+    assert viol_before > 0
+
+    # same run_id, new snapshot → all buckets pending again; validate
+    # a defect-free table: every bucket now has zero violations
+    cfg2 = RunConfig(output_dir=cfg.output_dir, run_id="r1", snapshot_id="snapC",
+                     n_buckets=cfg.n_buckets)
+    clean = files_table(spark, N, with_defects=False)
+    ValidationRunner(spark, files_ruleset(), cfg2).run(clean)
+    try:
+        n = spark.read.parquet(cfg.violations_path).count()
+    except Exception:
+        n = 0  # all bucket partitions cleared → no parquet files at all
+    assert n == 0
+
+
 def test_bucket_is_content_defined(spark, cfg):
     files = files_table(spark, 2_000)
     r = ValidationRunner(spark, files_ruleset(), cfg)

@@ -47,6 +47,32 @@ class TestMinHashLSH:
         hits = sum((i, i + 200000) in got for i in range(10))
         assert hits >= 7, f"only {hits}/10 near dups paired"
 
+    def test_signature_matches_python_ground_truth(self, spark):
+        """Regression for a Spark 4.1 miscompilation: stacking many
+        higher-order transforms over one projected shingle array
+        produced cross-row-contaminated minima.  The explode+agg form
+        must match a driver-side md5 reference exactly."""
+        import hashlib
+        import re
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+        got = {
+            r["doc_id"]: list(r["sig"])
+            for r in D.minhash_signatures(docs, "doc_id", "text", n_hashes=6).collect()
+        }
+        for row in docs.collect():
+            toks = [t for t in re.split("[^a-z0-9]+", (row["text"] or "").lower()) if t]
+            sh = (
+                list(dict.fromkeys(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)))
+                if len(toks) >= 3
+                else [" ".join(toks)]
+            )
+            exp = [
+                min(hashlib.md5(f"{s}:{x}".encode()).hexdigest() for x in sh)
+                for s in range(6)
+            ]
+            assert got[row["doc_id"]] == exp, row["doc_id"]
+
     def test_jaccard_estimate_close_to_exact(self, spark, docs_with_dups):
         pairs = D.minhash_lsh_pairs(docs_with_dups, "doc_id", "text")
         est = {
@@ -131,6 +157,61 @@ class TestSimilarity:
         approx = S.ann_topk_lsh(queries, emb, k=5)
         r = S.recall_at_k(exact, approx, 5)
         assert r >= 0.7, f"recall@5 = {r}"
+
+    def test_near_dup_exact_finds_planted_pair(self, spark, emb):
+        # plant a near-duplicate of vec 0 (tiny perturbation) with id 100000
+        dup = emb.filter(F.col("vec_id") == 0).select(
+            F.lit(100000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: x * 1.001
+            ).alias("embedding"),
+        )
+        corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(dup)
+        pairs = S.embedding_near_dup_pairs(corpus, threshold=0.99).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 100000) in got
+        # near-orthogonal synthetic vectors: no false positives at 0.99
+        assert all(b == 100000 or a == 100000 or a == b for a, b in got) or len(got) == 1
+
+    def test_near_dup_lsh_prefilter_precision_and_recall(self, spark, emb):
+        """LSH prefilter is a HIGH-threshold tool: sign-sketch collision
+        probability per table is (1−θ/π)^planes, so low-cos pairs are
+        (correctly) rarely candidates.  Plant true near-dups and check
+        precision 1.0 + near-dup recall."""
+        dups = emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: x * 1.001
+            ).alias("embedding"),
+        )
+        corpus = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).unionByName(dups)
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in S.embedding_near_dup_pairs(corpus, threshold=0.99).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in S.embedding_near_dup_pairs(
+                corpus, threshold=0.99, dim=64, use_lsh_prefilter=True
+            ).collect()
+        }
+        # precision 1.0: every LSH pair is a true pair (re-ranked by exact cosine)
+        assert lsh <= exact
+        planted = {(i, i + 100000) for i in range(20)}
+        assert planted <= exact
+        found = len(planted & lsh)
+        assert found >= 18, f"LSH found only {found}/20 planted near-dups"
+
+    def test_ivf_recall(self, spark, emb):
+        centroids = S.ivf_fit_centroids(emb, n_cells=8, seed=7)
+        assert len(centroids) == 8 and len(centroids[0]) == 64
+        queries = emb.limit(50)
+        exact = S.cosine_topk(queries, emb, k=5)
+        approx = S.ivf_topk(queries, emb, centroids, k=5, nprobe=3)
+        r = S.recall_at_k(exact, approx, 5)
+        assert r >= 0.6, f"IVF recall@5 = {r}"
 
 
 class TestText:
