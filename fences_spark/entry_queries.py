@@ -288,6 +288,67 @@ FROM documents GROUP BY lang
 """
 
 
+def q_drift_docs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed drift statistics (operators.drift.
+    drift_stats_distributed): χ² + KS of the full documents table
+    (current) vs the even-doc_id half (baseline), over two dims —
+    lang and a 500-char length bucket.  All in Spark: full-outer
+    histogram join, window CDFs, decimal-exact χ² sum."""
+    from fences_spark.operators.drift import categorical_histogram, drift_stats_distributed
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn("len_bucket", F.floor(F.col("n_chars") / 500).cast("string"))
+    cur = categorical_histogram(docs, "lang").unionByName(
+        categorical_histogram(docs, "len_bucket")
+    )
+    base_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    base = categorical_histogram(base_docs, "lang").unionByName(
+        categorical_histogram(base_docs, "len_bucket")
+    )
+    return drift_stats_distributed(cur, base)
+
+
+SQL_DRIFT_DOCS_STATS = """
+WITH d AS (
+  SELECT doc_id, COALESCE(lang, '<null>') AS lang,
+         COALESCE(CAST((n_chars // 500) AS VARCHAR), '<null>') AS len_bucket
+  FROM documents
+), cur AS (
+  SELECT 'lang' AS dim, lang AS bucket, COUNT(*) AS c_cnt FROM d GROUP BY 2
+  UNION ALL
+  SELECT 'len_bucket', len_bucket, COUNT(*) FROM d GROUP BY 2
+), base AS (
+  SELECT 'lang' AS dim, lang AS bucket, COUNT(*) AS b_cnt FROM d WHERE doc_id % 2 = 0 GROUP BY 2
+  UNION ALL
+  SELECT 'len_bucket', len_bucket, COUNT(*) FROM d WHERE doc_id % 2 = 0 GROUP BY 2
+), j AS (
+  SELECT COALESCE(cur.dim, base.dim) AS dim,
+         COALESCE(cur.bucket, base.bucket) AS bucket,
+         COALESCE(c_cnt, 0) AS c_cnt, COALESCE(b_cnt, 0) AS b_cnt
+  FROM cur FULL OUTER JOIN base ON cur.dim = base.dim AND cur.bucket = base.bucket
+), t AS (
+  SELECT dim, bucket, c_cnt, b_cnt,
+         SUM(c_cnt) OVER (PARTITION BY dim) AS n_c,
+         SUM(b_cnt) OVER (PARTITION BY dim) AS n_b,
+         SUM(c_cnt) OVER (PARTITION BY dim ORDER BY bucket ROWS UNBOUNDED PRECEDING) * 1.0
+           / SUM(c_cnt) OVER (PARTITION BY dim) AS cdf_c,
+         SUM(b_cnt) OVER (PARTITION BY dim ORDER BY bucket ROWS UNBOUNDED PRECEDING) * 1.0
+           / SUM(b_cnt) OVER (PARTITION BY dim) AS cdf_b
+  FROM j
+)
+SELECT dim,
+       ROUND((SUM(CASE WHEN b_cnt > 0
+                 THEN CAST((c_cnt - n_c * b_cnt * 1.0 / n_b) * (c_cnt - n_c * b_cnt * 1.0 / n_b)
+                          / (n_c * b_cnt * 1.0 / n_b) AS DECIMAL(28,10)) END))::DOUBLE, 6) AS chi2_stat,
+       (COUNT(CASE WHEN b_cnt > 0 THEN 1 END) - 1)::INT AS dof,
+       SUM(CASE WHEN b_cnt = 0 AND c_cnt > 0 THEN 1 ELSE 0 END)::BIGINT AS n_impossible,
+       ROUND(MAX(ABS(cdf_c - cdf_b)), 6) AS ks_stat,
+       MAX(n_c)::BIGINT AS n_current,
+       MAX(n_b)::BIGINT AS n_baseline
+FROM t GROUP BY dim
+"""
+
+
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 events per user by value (window + filter — top-k
     without a global sort), deterministic tie-break on event_id."""
@@ -758,6 +819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_exact_orders": q_profile_exact_orders,
     "dedup_key_count": q_dedup_key_count,
     "lang_histogram": q_lang_histogram,
+    "drift_docs_stats": q_drift_docs_stats,
     "topk_events_per_user": q_topk_events_per_user,
     "set_ops_customers": q_set_ops_customers,
     "events_json_props": q_events_json_props,
@@ -788,6 +850,7 @@ ORACLE_SQL: dict[str, str] = {
     "profile_exact_orders": SQL_PROFILE_EXACT_ORDERS,
     "dedup_key_count": SQL_DEDUP_KEY_COUNT,
     "lang_histogram": SQL_LANG_HISTOGRAM,
+    "drift_docs_stats": SQL_DRIFT_DOCS_STATS,
     "topk_events_per_user": SQL_TOPK_EVENTS_PER_USER,
     "set_ops_customers": SQL_SET_OPS_CUSTOMERS,
     "events_json_props": SQL_EVENTS_JSON_PROPS,

@@ -199,3 +199,56 @@ def _bucket_key(b: str):
         return (0, float(b), "")
     except (TypeError, ValueError):
         return (1, 0.0, str(b))
+
+
+# ---------------------------------------------------------------------------
+# fully-distributed drift statistics
+# ---------------------------------------------------------------------------
+
+
+def drift_stats_distributed(cur_hist: DataFrame, base_hist: DataFrame) -> DataFrame:
+    """χ² and KS statistics computed entirely in Spark — no driver
+    collect, so it composes into pipelines whose histograms are NOT
+    driver-sized (e.g. high-cardinality buckets at 10^12 rows).
+
+    Input: two (dim, bucket, cnt) histograms.  Output one row per dim:
+    (dim, chi2_stat, dof, n_impossible, ks_stat, n_current,
+    n_baseline).  χ² uses expected = baseline proportion × current
+    total over buckets present in the baseline; buckets impossible
+    under the baseline (cnt>0 with baseline 0) are counted separately
+    rather than folded into an infinite statistic.  KS compares
+    cumulative distributions with buckets in lexical order (cast
+    numeric buckets upstream if numeric order is wanted).  Per-bucket
+    χ² terms go through DECIMAL so the sum is order-independent
+    (exact reproducibility vs the SQL oracle)."""
+    from pyspark.sql import Window as W
+
+    c = cur_hist.select("dim", "bucket", F.col("cnt").alias("c_cnt"))
+    b = base_hist.select("dim", "bucket", F.col("cnt").alias("b_cnt"))
+    j = (
+        c.join(b, ["dim", "bucket"], "full_outer")
+        .fillna(0, ["c_cnt", "b_cnt"])
+    )
+    wd = W.partitionBy("dim")
+    wcum = W.partitionBy("dim").orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    tot = (
+        j.withColumn("n_c", F.sum("c_cnt").over(wd))
+        .withColumn("n_b", F.sum("b_cnt").over(wd))
+        .withColumn("cdf_c", F.sum("c_cnt").over(wcum) / F.col("n_c"))
+        .withColumn("cdf_b", F.sum("b_cnt").over(wcum) / F.col("n_b"))
+    )
+    exp = F.col("n_c") * F.col("b_cnt") / F.col("n_b")
+    diff = F.col("c_cnt") - exp
+    term = F.when(F.col("b_cnt") > 0, (diff * diff) / exp).otherwise(F.lit(None))
+    return (
+        tot.groupBy("dim")
+        .agg(
+            F.sum(term.cast("decimal(28,10)")).cast("double").alias("chi2_stat"),
+            (F.count(term) - F.lit(1)).cast("int").alias("dof"),
+            F.sum(((F.col("b_cnt") == 0) & (F.col("c_cnt") > 0)).cast("long")).alias("n_impossible"),
+            F.round(F.max(F.abs(F.col("cdf_c") - F.col("cdf_b"))), 6).alias("ks_stat"),
+            F.max("n_c").alias("n_current"),
+            F.max("n_b").alias("n_baseline"),
+        )
+        .withColumn("chi2_stat", F.round("chi2_stat", 6))
+    )

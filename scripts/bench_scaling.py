@@ -18,7 +18,7 @@ import zipfile
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ROWS = int(os.environ.get("SCALE_ROWS", "80000000"))
+ROWS = int(os.environ.get("SCALE_ROWS", "100000000"))
 DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "16g")
 # MODE=local        → one JVM, N threads (shared heap/GC — pessimistic)
 # MODE=local-cluster → real executor JVMs: N = 2 executors × 4 cores,

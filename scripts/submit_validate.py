@@ -56,10 +56,11 @@ def main() -> None:
     if not os.path.exists(os.path.join(data, "_SUCCESS")):
         # untimed, deterministic; 128 output files so any core count
         # gets balanced input splits
-        # 256 output files → ~54MB each at 80M rows: 8 full waves at 32
-        # cores, 32 at 8 — fine-grained enough that the task tail is
-        # <1/8 of a wave at either level
-        files_table(spark, args.rows).repartition(256).write.mode("overwrite").parquet(data)
+        # 512 output files (~22MB each at 100M rows): 16 full waves at
+        # 32 cores, 64 at 8 — fine-grained enough that the straggler
+        # tail (content lengths are log-spread) stays well under one
+        # wave at either level
+        files_table(spark, args.rows).repartition(512).write.mode("overwrite").parquet(data)
     if args.generate_only:
         print(json.dumps({"label": args.label, "generated": args.rows}))
         spark.stop()

@@ -127,6 +127,28 @@ class TestDrift:
         # by ~0.1%, below the alpha=1e-3 radar at this n)
         assert not results["path_depth"].drifted(alpha=1e-6)
 
+    def test_distributed_stats_agree_with_driver_side(self, spark):
+        """drift_stats_distributed (pure Spark, no collect) must agree
+        with score_drift (driver-side) on χ², dof, KS, and totals —
+        modulo score_drift folding impossible buckets into inf."""
+        from fences_spark.operators.drift import drift_stats_distributed
+
+        files = files_table(spark, N)  # contains 'klingon' (impossible)
+        base = baseline_hist(spark, N)
+        cur = files_histograms(files)
+        dist = {r["dim"]: r for r in drift_stats_distributed(cur, base).collect()}
+        drv = {r.dim: r for r in score_drift(cur, base)}
+        for dim in drv:
+            d, s = dist[dim], drv[dim]
+            assert d["n_current"] == s.n_current and d["n_baseline"] == s.n_baseline
+            assert d["ks_stat"] == pytest.approx(s.ks_stat, abs=1e-6)
+            if math.isinf(s.chi2_stat):
+                assert d["n_impossible"] > 0  # split out, not folded to inf
+            else:
+                assert d["n_impossible"] == 0
+                assert d["chi2_stat"] == pytest.approx(s.chi2_stat, abs=1e-4)
+                assert d["dof"] == s.chi2_dof
+
     def test_impossible_bucket_is_infinite_chi2(self, spark):
         files = files_table(spark, N)  # contains 'klingon'
         base = baseline_hist(spark, N)
