@@ -807,7 +807,199 @@ def q_validate_files_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# grammar dialect (SURVEY.md §2.E) — validator dual of the reference's
+# EBNF combinators (fences/grammar/types.py:5-98, convert.py:46-142)
+# ---------------------------------------------------------------------------
+
+def _priority_grammar():
+    from fences_spark.schema.grammar import CharacterRange, CompiledGrammar, Terminal
+    g = {
+        "start": CharacterRange("1", "5") + Terminal("-") + (
+            Terminal("URGENT") | Terminal("HIGH") | Terminal("MEDIUM")
+            | Terminal("NOT SPECIFIED") | Terminal("LOW")),
+    }
+    return CompiledGrammar(g, "start")
+
+
+def q_grammar_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acyclic grammar → single Java regex (`rlike`, pure JVM tier):
+    validate o_orderpriority's `digit-WORD` language and count by
+    verdict.  Whole-stage codegen; no Python."""
+    cg = _priority_grammar()
+    orders = _t(spark, sf_dir, "orders")
+    plain = orders.select(F.col("o_orderpriority").alias("s"))
+    broken = orders.select(F.concat(F.col("o_orderpriority"), F.lit("X")).alias("s"))
+    return (
+        plain.unionByName(broken)
+        .select(cg.column(F.col("s")).alias("ok"))
+        .groupBy("ok").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_grammar_priority() -> str:
+    cg = _priority_grammar()
+    return f"""
+    WITH v AS (SELECT o_orderpriority AS s FROM orders
+               UNION ALL SELECT o_orderpriority || 'X' FROM orders)
+    SELECT CASE WHEN s IS NULL THEN FALSE
+                ELSE {cg.sql_full_match('s')} END AS ok,
+           COUNT(*)::BIGINT AS n
+    FROM v GROUP BY 1
+    """
+
+
+def _number_grammar():
+    """RFC 8259 number grammar, written recursively (digits → digit
+    digits) so the Earley/Arrow tier is exercised even though the
+    language is regular."""
+    from fences_spark.schema.grammar import (
+        CharacterRange, CompiledGrammar, NonTerminal, Terminal)
+    (number, integer, fraction, exponent, digits, digit, one_nine,
+     sign) = (NonTerminal(n) for n in (
+        "number", "integer", "fraction", "exponent", "digits", "digit",
+        "one_nine", "sign"))
+    g = {
+        number: [integer + fraction + exponent],
+        integer: [digit, one_nine + digits, Terminal("-") + digit,
+                  Terminal("-") + one_nine + digits],
+        digits: [digit, digit + digits],
+        digit: [Terminal("0"), one_nine],
+        one_nine: [CharacterRange("1", "9")],
+        fraction: [Terminal(""), Terminal(".") + digits],
+        exponent: [Terminal(""), Terminal("E") + sign + digits,
+                   Terminal("e") + sign + digits],
+        sign: [Terminal(""), Terminal("+"), Terminal("-")],
+    }
+    return CompiledGrammar(g, number)
+
+
+# DuckDB oracle for the same language, hand-written independently
+_NUMBER_RX = r"-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?"
+
+
+def q_grammar_number_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive grammar → Earley recognizer in an Arrow-vectorized
+    pandas UDF (the sanctioned non-JVM tier): per-variant verdict
+    counts over strings derived from documents.n_chars — one valid
+    shape and two boundary-invalid mutations."""
+    cg = _number_grammar()
+    assert cg.is_recursive
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(F.col("n_chars").cast("string").alias("s"))
+    variants = (
+        base.select(F.lit("plain").alias("variant"), F.col("s"))
+        .unionByName(base.select(F.lit("leading_dot").alias("variant"),
+                                 F.concat(F.lit("."), F.col("s")).alias("s")))
+        .unionByName(base.select(F.lit("trailing_exp").alias("variant"),
+                                 F.concat(F.col("s"), F.lit("e")).alias("s")))
+    )
+    return (
+        variants.select("variant", cg.column(F.col("s")).alias("ok"))
+        .groupBy("variant")
+        .agg(F.sum(F.col("ok").cast("long")).alias("n_valid"),
+             F.count(F.lit(1)).alias("n_total"))
+    )
+
+
+SQL_GRAMMAR_NUMBER_DOCS = f"""
+WITH base AS (SELECT n_chars::VARCHAR AS s FROM documents),
+variants AS (
+  SELECT 'plain' AS variant, s FROM base
+  UNION ALL SELECT 'leading_dot', '.' || s FROM base
+  UNION ALL SELECT 'trailing_exp', s || 'e' FROM base
+)
+SELECT variant,
+       SUM(CASE WHEN regexp_matches(s, '\\A(?:{_NUMBER_RX})\\z') THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       COUNT(*)::BIGINT AS n_total
+FROM variants GROUP BY variant
+"""
+
+
+# ---------------------------------------------------------------------------
+# OpenAPI dialect (SURVEY.md §2.E) — validator dual of the reference's
+# request generator (fences/open_api/generate.py:198-225)
+# ---------------------------------------------------------------------------
+
+_OPENAPI_SPEC = {
+    "info": {"title": "orders", "version": "1"},
+    "components": {"schemas": {
+        "Priority": {"type": "string", "enum": [
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]},
+        "NewOrder": {"type": "object", "required": ["custkey", "total"],
+                     "properties": {"custkey": {"type": "integer", "minimum": 1},
+                                    "total": {"type": "number",
+                                              "exclusiveMinimum": 0}}},
+    }},
+    "paths": {
+        "/orders/{id}": {"get": {
+            "operationId": "getOrder",
+            "parameters": [
+                {"name": "id", "in": "path",
+                 "schema": {"type": "integer", "minimum": 1}},
+                {"name": "priority", "in": "query", "required": False,
+                 "schema": {"$ref": "#/components/schemas/Priority"}},
+                {"name": "limit", "in": "query", "required": True,
+                 "schema": {"type": "integer", "minimum": 1, "maximum": 100}},
+            ],
+            "responses": {"200": {"description": "ok"}}}},
+        "/orders": {"post": {
+            "operationId": "createOrder",
+            "requestBody": {"required": True, "content": {"application/json": {
+                "schema": {"$ref": "#/components/schemas/NewOrder"}}}},
+            "responses": {"201": {"description": "created"}}}},
+    },
+}
+
+
+def q_openapi_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a request log from orders (GET with path+query
+    params) and customer (POST with JSON body), validate against the
+    OpenAPI spec, return per-operation verdict counts.  Routing and
+    every parameter/body check are one projection pass — no shuffle
+    until the final verdict groupBy."""
+    from fences_spark.schema.open_api import OpenApiValidator
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    gets = orders.select(
+        F.lit("GET").alias("method"),
+        F.concat(F.lit("/orders/"), F.col("o_orderkey").cast("string")).alias("path"),
+        F.create_map(
+            F.lit("limit"), (F.col("o_orderkey") % 150).cast("string"),
+            F.lit("priority"), F.col("o_orderpriority"),
+        ).alias("query"),
+        F.lit(None).cast("string").alias("body"),
+    )
+    posts = customer.select(
+        F.lit("POST").alias("method"),
+        F.lit("/orders").alias("path"),
+        F.create_map().cast("map<string,string>").alias("query"),
+        F.concat(F.lit('{"custkey": '), F.col("c_custkey").cast("string"),
+                 F.lit(', "total": '), F.col("c_acctbal").cast("string"),
+                 F.lit("}")).alias("body"),
+    )
+    v = OpenApiValidator(_OPENAPI_SPEC)
+    out = v.validate(gets.unionByName(posts))
+    return v.verdicts(out)
+
+
+SQL_OPENAPI_REQUESTS = """
+SELECT 'getOrder' AS operation_id,
+       SUM(CASE WHEN (o_orderkey % 150) BETWEEN 1 AND 100 THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       SUM(CASE WHEN (o_orderkey % 150) BETWEEN 1 AND 100 THEN 0 ELSE 1 END)::BIGINT AS n_invalid
+FROM orders
+UNION ALL
+SELECT 'createOrder',
+       SUM(CASE WHEN c_custkey >= 1 AND c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT,
+       SUM(CASE WHEN c_custkey >= 1 AND c_acctbal > 0 THEN 0 ELSE 1 END)::BIGINT
+FROM customer
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "grammar_priority_orders": q_grammar_priority_orders,
+    "grammar_number_docs": q_grammar_number_docs,
+    "openapi_requests": q_openapi_requests,
     "validate_documents": q_validate_documents,
     "violations_events_props": q_violations_events_props,
     "q1_pricing_summary": q1_pricing_summary,
@@ -839,6 +1031,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "grammar_priority_orders": _sql_grammar_priority(),
+    "grammar_number_docs": SQL_GRAMMAR_NUMBER_DOCS,
+    "openapi_requests": SQL_OPENAPI_REQUESTS,
     "validate_documents": SQL_VALIDATE_DOCUMENTS,
     "violations_events_props": SQL_VIOLATIONS_EVENTS_PROPS,
     "q1_pricing_summary": SQL_Q1,

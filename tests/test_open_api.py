@@ -1,0 +1,154 @@
+"""OpenAPI front-end tests — validator dual of the reference's
+request generator (fences/open_api/generate.py:198-225): the rows a
+valid-sample generator would emit must validate True; boundary
+mutations (missing required param, out-of-range value, wrong-type
+path id, malformed body) must validate False with the exact failing
+check named.
+"""
+
+import pytest
+
+from fences_spark.schema.open_api import (
+    OpenApiError,
+    OpenApiValidator,
+    parse_spec,
+)
+
+SPEC = {
+    "info": {"title": "orders", "version": "1"},
+    "components": {
+        "schemas": {
+            "Priority": {
+                "type": "string",
+                "enum": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            },
+            "NewOrder": {
+                "type": "object",
+                "required": ["custkey", "total"],
+                "properties": {
+                    "custkey": {"type": "integer", "minimum": 1},
+                    "total": {"type": "number", "exclusiveMinimum": 0},
+                },
+            },
+        }
+    },
+    "paths": {
+        "/orders/{id}": {
+            "get": {
+                "operationId": "getOrder",
+                "parameters": [
+                    {"name": "id", "in": "path",
+                     "schema": {"type": "integer", "minimum": 1}},
+                    {"name": "priority", "in": "query", "required": False,
+                     "schema": {"$ref": "#/components/schemas/Priority"}},
+                    {"name": "limit", "in": "query", "required": True,
+                     "schema": {"type": "integer", "minimum": 1, "maximum": 100}},
+                ],
+                "responses": {"200": {"description": "ok"}},
+            }
+        },
+        "/orders": {
+            "post": {
+                "operationId": "createOrder",
+                "requestBody": {
+                    "required": True,
+                    "content": {"application/json": {
+                        "schema": {"$ref": "#/components/schemas/NewOrder"}}},
+                },
+                "responses": {"201": {"description": "created"}},
+            }
+        },
+    },
+}
+
+
+def test_parse_spec_model():
+    ops = parse_spec(SPEC)
+    assert set(ops) == {"getOrder", "createOrder"}
+    get = ops["getOrder"]
+    assert get.method == "GET"
+    pid = next(p for p in get.parameters if p.position == "path")
+    assert pid.required  # path params implicitly required
+    pri = next(p for p in get.parameters if p.name == "priority")
+    assert pri.schema.get("enum")  # $ref inlined
+    rx, names = get.path_regex()
+    assert names == ["id"]
+    body = ops["createOrder"].request_body
+    assert body.required and body.schema["required"] == ["custkey", "total"]
+
+
+def test_parse_spec_errors():
+    with pytest.raises(OpenApiError):
+        parse_spec({"paths": {}})
+    bad = {"paths": {"/x": {"get": {
+        "operationId": "x",
+        "parameters": [{"name": "q", "in": "query", "schema":
+                        {"$ref": "#/components/schemas/Nope"}}]}}}}
+    with pytest.raises(OpenApiError):
+        parse_spec(bad)
+
+
+@pytest.fixture(scope="module")
+def validated(spark):
+    rows = [
+        # (tag, method, path, query, body)
+        ("ok_get",        "GET",  "/orders/7",   {"limit": "10", "priority": "5-LOW"}, None),
+        ("ok_get_noprio", "GET",  "/orders/123", {"limit": "100"}, None),
+        ("bad_id",        "GET",  "/orders/abc", {"limit": "10"}, None),
+        ("bad_id_zero",   "GET",  "/orders/0",   {"limit": "10"}, None),
+        ("missing_limit", "GET",  "/orders/7",   {}, None),
+        ("big_limit",     "GET",  "/orders/7",   {"limit": "101"}, None),
+        ("bad_prio",      "GET",  "/orders/7",   {"limit": "1", "priority": "6-NONE"}, None),
+        ("ok_post",       "POST", "/orders",     {}, '{"custkey": 5, "total": 1.5}'),
+        ("bad_post_neg",  "POST", "/orders",     {}, '{"custkey": 5, "total": 0}'),
+        ("bad_post_miss", "POST", "/orders",     {}, '{"custkey": 5}'),
+        ("bad_post_json", "POST", "/orders",     {}, '{"custkey": '),
+        ("no_body",       "POST", "/orders",     {}, None),
+        ("no_route",      "GET",  "/nope",       {}, None),
+    ]
+    df = spark.createDataFrame(rows, "tag string, method string, path string, "
+                                     "query map<string,string>, body string")
+    v = OpenApiValidator(SPEC)
+    out = v.validate(df).collect()
+    return {r.tag: r for r in out}
+
+
+def test_routing(validated):
+    assert validated["ok_get"].operation_id == "getOrder"
+    assert validated["ok_post"].operation_id == "createOrder"
+    assert validated["no_route"].operation_id is None
+    assert validated["no_route"].failed_checks == ["__no_route__"]
+
+
+def test_valid_rows(validated):
+    for tag in ("ok_get", "ok_get_noprio", "ok_post"):
+        assert validated[tag].row_valid, tag
+        assert validated[tag].failed_checks == []
+
+
+@pytest.mark.parametrize("tag,check", [
+    ("bad_id", "path.id"),
+    ("bad_id_zero", "path.id"),
+    ("missing_limit", "query.limit"),
+    ("big_limit", "query.limit"),
+    ("bad_prio", "query.priority"),
+    ("bad_post_neg", "body"),
+    ("bad_post_miss", "body"),
+    ("bad_post_json", "body"),
+    ("no_body", "body"),
+])
+def test_invalid_rows_name_the_check(validated, tag, check):
+    assert not validated[tag].row_valid, tag
+    assert check in validated[tag].failed_checks, tag
+
+
+def test_verdicts_aggregate(spark, validated):
+    # verdicts over the same small table: pure groupBy, no extra pass logic
+    rows = [(r.operation_id, r.row_valid) for r in validated.values()]
+    df = spark.createDataFrame(rows, "operation_id string, row_valid boolean")
+    v = OpenApiValidator(SPEC)
+    got = {r.operation_id: (r.n_valid, r.n_invalid)
+           for r in v.verdicts(df).collect()}
+    assert got["getOrder"] == (2, 5)
+    assert got["createOrder"] == (1, 4)
+    assert got[None] == (0, 1)
