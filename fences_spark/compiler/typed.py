@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import operator
+import re
 from typing import Any
 
 from pyspark.sql import Column, functions as F, types as T
@@ -208,8 +209,7 @@ class TypedCompiler:
             preds.append(F.when(if_p, then_p).otherwise(else_p))
 
         # unsupported-on-typed keywords → UDF fallback
-        for k in ("patternProperties", "propertyNames", "dependentSchemas",
-                  "unevaluatedProperties", "unevaluatedItems"):
+        for k in ("unevaluatedProperties", "unevaluatedItems"):
             if k in s:
                 raise CompileError(f"keyword {k} not supported in typed compile")
 
@@ -326,9 +326,23 @@ class TypedCompiler:
                     self._compile_nonnull_dispatch(sub, fcol, fields[k], depth)
                 )
             )
+        pat_props = s.get("patternProperties", {})
+        for pat, sub in pat_props.items():
+            # plain search semantics, mirroring the evaluator
+            # (evaluator.py:323-327); field names known at compile time
+            for k in fields:
+                if re.search(pat, k):
+                    fcol = col.getField(k)
+                    preds.append(
+                        F.when(fcol.isNull(), F.lit(True)).otherwise(
+                            self._compile_nonnull_dispatch(sub, fcol, fields[k], depth)
+                        )
+                    )
         if "additionalProperties" in s:
             ap = s["additionalProperties"]
-            extra = [k for k in fields if k not in props]
+            extra = [k for k in fields
+                     if k not in props
+                     and not any(re.search(p, k) for p in pat_props)]
             for k in extra:
                 fcol = col.getField(k)
                 preds.append(
@@ -336,6 +350,13 @@ class TypedCompiler:
                         self._compile_nonnull_dispatch(ap, fcol, fields[k], depth)
                     )
                 )
+        if "propertyNames" in s:
+            # key set is static for a struct: fold each present field's
+            # name verdict at compile time with the reference evaluator
+            for k in fields:
+                ok = self.evaluator.validate(k, s["propertyNames"])
+                if not ok:
+                    preds.append(col.getField(k).isNull())
         n_present = functools.reduce(
             operator.add,
             [col.getField(k).isNotNull().cast("int") for k in fields],
@@ -352,6 +373,11 @@ class TypedCompiler:
                 [col.getField(k).isNotNull() if k in fields else F.lit(False) for k in needed]
             )
             preds.append(F.when(col.getField(trigger).isNotNull(), have).otherwise(True))
+        for trigger, sub in s.get("dependentSchemas", {}).items():
+            if trigger not in fields:
+                continue  # trigger can never be present → vacuous
+            whole = self._compile_dispatchable(sub, col, dtype, depth)
+            preds.append(F.when(col.getField(trigger).isNotNull(), whole).otherwise(True))
         return preds
 
     # -- objects (map<string, T>) ----------------------------------------
@@ -374,12 +400,31 @@ class TypedCompiler:
                     self._element_pred(sub, v, vt, depth),
                 ).otherwise(True)
             )
+        pat_props = s.get("patternProperties", {})
+        for pat, sub in pat_props.items():
+            matching = F.map_filter(col, lambda k, _: k.rlike(pat))
+            preds.append(
+                F.forall(F.map_values(matching), lambda v: self._element_pred(sub, v, vt, depth))
+            )
         if "additionalProperties" in s:
             ap = s["additionalProperties"]
             listed = F.array(*[F.lit(k) for k in props]) if props else F.array().cast("array<string>")
-            others = F.map_filter(col, lambda k, _: ~F.array_contains(listed, k))
+
+            def _is_other(k: Column) -> Column:
+                other = ~F.array_contains(listed, k)
+                for p in pat_props:
+                    other = other & ~k.rlike(p)
+                return other
+
+            others = F.map_filter(col, lambda k, _: _is_other(k))
             preds.append(
                 F.forall(F.map_values(others), lambda v: self._element_pred(ap, v, vt, depth))
+            )
+        if "propertyNames" in s:
+            sub = s["propertyNames"]
+            preds.append(
+                F.forall(F.map_keys(col),
+                         lambda k: self._compile_dispatchable(sub, k, T.StringType(), depth))
             )
         if "minProperties" in s:
             preds.append(F.size(col) >= F.lit(int(s["minProperties"])))
@@ -388,6 +433,9 @@ class TypedCompiler:
         for trigger, needed in s.get("dependentRequired", {}).items():
             have = _all([F.map_contains_key(col, k) for k in needed])
             preds.append(F.when(F.map_contains_key(col, trigger), have).otherwise(True))
+        for trigger, sub in s.get("dependentSchemas", {}).items():
+            whole = self._compile_dispatchable(sub, col, dtype, depth)
+            preds.append(F.when(F.map_contains_key(col, trigger), whole).otherwise(True))
         return preds
 
 

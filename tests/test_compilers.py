@@ -220,3 +220,123 @@ class TestJsonTiers:
         pred, tier = compile_json({"type": "object"}, df["v"])
         got = [r["ok"] for r in df.select(F.coalesce(pred, F.lit(False)).alias("ok")).collect()]
         assert got == [False, False]  # malformed invalid; NULL cell = JSON null → not object
+
+
+class TestAdvancedObjectKeywords:
+    """patternProperties / propertyNames / dependentSchemas on the
+    typed (codegen) tier — previously UDF-fallback territory."""
+
+    def test_struct_pattern_properties(self, spark):
+        schema = {
+            "type": "object",
+            "patternProperties": {"^x_": {"type": "number", "minimum": 0}},
+        }
+        rows = [
+            {"x_a": 1.0, "other": -5.0},   # x_a ok; other unconstrained
+            {"x_a": -1.0, "other": 1.0},   # x_a violates minimum
+            {"x_a": None, "other": None},  # x_a absent → vacuous
+        ]
+        df = spark.createDataFrame([(r,) for r in rows], "v struct<x_a: double, other: double>")
+        pred = TypedCompiler(schema).compile(df["v"], df.schema["v"].dataType)
+        got = [r["ok"] for r in df.select(F.coalesce(pred, F.lit(False)).alias("ok")).collect()]
+        ev = Evaluator(schema)
+        dicts = [{k: x for k, x in r.items() if x is not None} for r in rows]
+        assert got == [ev.validate(d) for d in dicts] == [True, False, True]
+
+    def test_struct_additional_excludes_pattern_matched(self, spark):
+        schema = {
+            "type": "object",
+            "properties": {"a": {"type": "number"}},
+            "patternProperties": {"^x_": {"type": "number"}},
+            "additionalProperties": {"type": "number", "maximum": 0},
+        }
+        rows = [
+            {"a": 1.0, "x_b": 99.0, "c": -1.0},  # c<=0 ok; x_b exempt
+            {"a": 1.0, "x_b": 99.0, "c": 1.0},   # c violates maximum
+        ]
+        df = spark.createDataFrame(
+            [(r,) for r in rows], "v struct<a: double, x_b: double, c: double>")
+        pred = TypedCompiler(schema).compile(df["v"], df.schema["v"].dataType)
+        got = [r["ok"] for r in df.select(F.coalesce(pred, F.lit(False)).alias("ok")).collect()]
+        ev = Evaluator(schema)
+        assert got == [ev.validate(d) for d in rows] == [True, False]
+
+    def test_struct_property_names(self, spark):
+        schema = {"type": "object", "propertyNames": {"maxLength": 2}}
+        rows = [
+            {"ab": 1.0, "lng": None},  # only short key present
+            {"ab": 1.0, "lng": 2.0},   # 'lng' (len 3) present → invalid
+        ]
+        df = spark.createDataFrame([(r,) for r in rows], "v struct<ab: double, lng: double>")
+        pred = TypedCompiler(schema).compile(df["v"], df.schema["v"].dataType)
+        got = [r["ok"] for r in df.select(F.coalesce(pred, F.lit(False)).alias("ok")).collect()]
+        ev = Evaluator(schema)
+        dicts = [{k: x for k, x in r.items() if x is not None} for r in rows]
+        assert got == [ev.validate(d) for d in dicts] == [True, False]
+
+    def test_struct_dependent_schemas(self, spark):
+        schema = {
+            "type": "object",
+            "dependentSchemas": {"a": {"required": ["b"]}},
+        }
+        rows = [
+            {"a": 1.0, "b": 2.0},     # trigger + dependency → ok
+            {"a": 1.0, "b": None},    # trigger without b → invalid
+            {"a": None, "b": None},   # no trigger → vacuous
+        ]
+        df = spark.createDataFrame([(r,) for r in rows], "v struct<a: double, b: double>")
+        pred = TypedCompiler(schema).compile(df["v"], df.schema["v"].dataType)
+        got = [r["ok"] for r in df.select(F.coalesce(pred, F.lit(False)).alias("ok")).collect()]
+        ev = Evaluator(schema)
+        dicts = [{k: x for k, x in r.items() if x is not None} for r in rows]
+        assert got == [ev.validate(d) for d in dicts] == [True, False, True]
+
+    @pytest.mark.parametrize("value,want", [
+        ({"x_a": 1.0}, True),
+        ({"x_a": -1.0}, False),           # pattern value violates
+        ({"ok": 5.0, "toolong": 1.0}, False),  # propertyNames maxLength
+        ({"ok": -2.0}, True),
+        ({}, True),
+    ])
+    def test_map_pattern_and_names(self, spark, value, want):
+        schema = {
+            "type": "object",
+            "patternProperties": {"^x_": {"type": "number", "minimum": 0}},
+            "propertyNames": {"maxLength": 3},
+        }
+        df = spark.createDataFrame([(value,)], "v map<string, double>")
+        pred = TypedCompiler(schema).compile(df["v"], df.schema["v"].dataType)
+        got = [r["ok"] for r in df.select(F.coalesce(pred, F.lit(False)).alias("ok")).collect()]
+        ev = Evaluator(schema)
+        assert got == [ev.validate(value)] == [want]
+
+    @pytest.mark.parametrize("value,want", [
+        ({"a": 1.0, "b": 2.0}, True),
+        ({"a": 1.0}, False),
+        ({"b": 2.0}, True),
+    ])
+    def test_map_dependent_schemas(self, spark, value, want):
+        schema = {"type": "object", "dependentSchemas": {"a": {"required": ["b"]}}}
+        df = spark.createDataFrame([(value,)], "v map<string, double>")
+        pred = TypedCompiler(schema).compile(df["v"], df.schema["v"].dataType)
+        got = [r["ok"] for r in df.select(F.coalesce(pred, F.lit(False)).alias("ok")).collect()]
+        ev = Evaluator(schema)
+        assert got == [ev.validate(value)] == [want]
+
+    def test_map_additional_excludes_pattern_matched(self, spark):
+        schema = {
+            "type": "object",
+            "properties": {"a": {"type": "number"}},
+            "patternProperties": {"^x_": {"type": "number"}},
+            "additionalProperties": {"type": "number", "maximum": 0},
+        }
+        cases = [
+            ({"a": 9.0, "x_b": 9.0, "c": -1.0}, True),
+            ({"a": 9.0, "x_b": 9.0, "c": 1.0}, False),
+        ]
+        for value, want in cases:
+            df = spark.createDataFrame([(value,)], "v map<string, double>")
+            pred = TypedCompiler(schema).compile(df["v"], df.schema["v"].dataType)
+            got = [r["ok"] for r in df.select(F.coalesce(pred, F.lit(False)).alias("ok")).collect()]
+            ev = Evaluator(schema)
+            assert got == [ev.validate(value)] == [want]
