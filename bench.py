@@ -36,6 +36,10 @@ HEADLINE = [
     "minhash_lsh_docs",
     "text_profile_docs",
     "embedding_topk",
+    "grammar_priority_orders",
+    "grammar_number_docs",
+    "openapi_requests",
+    "xsd_orders_xml",
     "validate_files_200k",
 ]
 
@@ -56,13 +60,19 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        # min of two executions: the first run of a plan pays one-time
+        # JVM JIT/codegen compilation and is exposed to host scheduling
+        # jitter (observed 2-4x swings on this shared box); the min
+        # measures the plan, which is what the baseline tracks.
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {n} rows in {best:.2f}s (min of 2)", file=sys.stderr)
 
     print(
         json.dumps(

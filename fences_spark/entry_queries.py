@@ -996,10 +996,97 @@ FROM customer
 """
 
 
+# ---------------------------------------------------------------------------
+# XSD dialect (SURVEY.md §2.E) — XML cells validated through the
+# reference's XSD subset (fences/xml_schema/parse.py:12-28)
+# ---------------------------------------------------------------------------
+
+_ORDER_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="order">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="priority">
+          <xs:simpleType>
+            <xs:restriction base="xs:string">
+              <xs:pattern value="[1-5]-[A-Z ]+"/>
+            </xs:restriction>
+          </xs:simpleType>
+        </xs:element>
+        <xs:element name="total">
+          <xs:simpleType>
+            <xs:restriction base="xs:double">
+              <xs:minExclusive value="0"/>
+            </xs:restriction>
+          </xs:simpleType>
+        </xs:element>
+      </xs:sequence>
+      <xs:attribute name="id" use="required">
+        <xs:simpleType>
+          <xs:restriction base="xs:positiveInteger"/>
+        </xs:simpleType>
+      </xs:attribute>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+
+def q_xsd_orders_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML cells synthesized from orders, validated against the XSD
+    subset (Arrow-vectorized shred + evaluator).  Two variants: the
+    faithful serialization (valid) and a negated-total mutation
+    (violates minExclusive)."""
+    from fences_spark.schema.xsd import compile_xml_udf, parse_xsd
+
+    schema = parse_xsd(_ORDER_XSD)["order"]
+    orders = _t(spark, sf_dir, "orders")
+
+    def to_xml(total: F.Column) -> F.Column:
+        return F.concat(
+            F.lit('<order id="'), F.col("o_orderkey").cast("string"),
+            F.lit('"><priority>'), F.col("o_orderpriority"),
+            F.lit("</priority><total>"), total.cast("string"),
+            F.lit("</total></order>"))
+
+    variants = (
+        orders.select(F.lit("plain").alias("variant"),
+                      to_xml(F.col("o_totalprice")).alias("x"))
+        .unionByName(orders.select(F.lit("neg_total").alias("variant"),
+                                   to_xml(-F.col("o_totalprice")).alias("x")))
+    )
+    return (
+        variants.select("variant", compile_xml_udf(schema, F.col("x")).alias("ok"))
+        .groupBy("variant")
+        .agg(F.sum(F.col("ok").cast("long")).alias("n_valid"),
+             F.count(F.lit(1)).alias("n_total"))
+    )
+
+
+SQL_XSD_ORDERS_XML = """
+WITH v AS (
+  SELECT 'plain' AS variant,
+         (o_orderkey >= 1 AND regexp_matches(o_orderpriority, '^(?:[1-5]-[A-Z ]+)$')
+          AND o_totalprice > 0) AS ok
+  FROM orders
+  UNION ALL
+  SELECT 'neg_total',
+         (o_orderkey >= 1 AND regexp_matches(o_orderpriority, '^(?:[1-5]-[A-Z ]+)$')
+          AND -o_totalprice > 0)
+  FROM orders
+)
+SELECT variant,
+       SUM(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       COUNT(*)::BIGINT AS n_total
+FROM v GROUP BY variant
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grammar_priority_orders": q_grammar_priority_orders,
     "grammar_number_docs": q_grammar_number_docs,
     "openapi_requests": q_openapi_requests,
+    "xsd_orders_xml": q_xsd_orders_xml,
     "validate_documents": q_validate_documents,
     "violations_events_props": q_violations_events_props,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1034,6 +1121,7 @@ ORACLE_SQL: dict[str, str] = {
     "grammar_priority_orders": _sql_grammar_priority(),
     "grammar_number_docs": SQL_GRAMMAR_NUMBER_DOCS,
     "openapi_requests": SQL_OPENAPI_REQUESTS,
+    "xsd_orders_xml": SQL_XSD_ORDERS_XML,
     "validate_documents": SQL_VALIDATE_DOCUMENTS,
     "violations_events_props": SQL_VIOLATIONS_EVENTS_PROPS,
     "q1_pricing_summary": SQL_Q1,
