@@ -430,7 +430,10 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE chain ending in ``mh_pairs`` (id_a, id_b) — the
+    DuckDB mirror of minhash_lsh_pairs, reused by the pairs oracle and
+    the connected-components oracle."""
     n_bands = _MINHASH_N // _BAND
     sig_exprs = ", ".join(
         f"list_min(list_transform(shingles, x -> md5('{s}:' || x)))" for s in range(_MINHASH_N)
@@ -439,8 +442,7 @@ def _sql_minhash() -> str:
         "md5(" + " || '|' || ".join(f"sig[{b * _BAND + r + 1}]" for r in range(_BAND)) + ")"
         for b in range(n_bands)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
   FROM documents
@@ -457,11 +459,52 @@ WITH toks AS (
   SELECT doc_id, unnest([{band_exprs}]) AS band_hash,
          unnest(range(1, {n_bands + 1})) AS band_idx
   FROM sig
+), mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)"""
+
+
+def _sql_minhash() -> str:
+    return "WITH " + _minhash_ctes() + "\nSELECT id_a, id_b FROM mh_pairs"
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs → connected components (hash-min label
+    propagation) → per-cluster summary.  The oracle computes the same
+    components with a recursive CTE (min reachable id)."""
+    from fences_spark.operators.dedup import (
+        cluster_summary, connected_components, minhash_lsh_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=_MINHASH_N, band_size=_BAND, shingle_k=_SHK
+    )
+    return cluster_summary(connected_components(pairs))
+
+
+def _sql_near_dup_clusters() -> str:
+    return (
+        "WITH RECURSIVE " + _minhash_ctes() + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+), components AS (
+  SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b
-  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-"""
+SELECT cluster_id,
+       COUNT(*)::BIGINT AS size,
+       MIN(node) AS keep_id
+FROM components GROUP BY cluster_id
+""")
 
 
 def q_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1082,11 +1125,41 @@ FROM v GROUP BY variant
 """
 
 
+def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data curation):
+    20% of 'en' docs, 10% of everything else, membership a pure
+    function of md5(doc_id) — reproducible across engines, cluster
+    sizes, and resumes.  Pure codegen filter, no shuffle before the
+    verdict aggregation."""
+    from fences_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    picked = stratified_sample(docs, "doc_id", "lang", {"en": 0.20}, default_fraction=0.10)
+    return (
+        picked.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"),
+             F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+SQL_SAMPLE_DOCUMENTS = """
+SELECT lang,
+       COUNT(*)::BIGINT AS n_sampled,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
+      CASE WHEN lang = 'en' THEN '3333' ELSE '1999' END
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grammar_priority_orders": q_grammar_priority_orders,
     "grammar_number_docs": q_grammar_number_docs,
     "openapi_requests": q_openapi_requests,
     "xsd_orders_xml": q_xsd_orders_xml,
+    "near_dup_clusters": q_near_dup_clusters,
+    "sample_documents": q_sample_documents,
     "validate_documents": q_validate_documents,
     "violations_events_props": q_violations_events_props,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1122,6 +1195,8 @@ ORACLE_SQL: dict[str, str] = {
     "grammar_number_docs": SQL_GRAMMAR_NUMBER_DOCS,
     "openapi_requests": SQL_OPENAPI_REQUESTS,
     "xsd_orders_xml": SQL_XSD_ORDERS_XML,
+    "near_dup_clusters": _sql_near_dup_clusters(),
+    "sample_documents": SQL_SAMPLE_DOCUMENTS,
     "validate_documents": SQL_VALIDATE_DOCUMENTS,
     "violations_events_props": SQL_VIOLATIONS_EVENTS_PROPS,
     "q1_pricing_summary": SQL_Q1,

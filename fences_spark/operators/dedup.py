@@ -324,3 +324,76 @@ def simhash(text: Column, bits: int = 32) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs (cluster assignment)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster ids for the undirected graph of near-dup pairs:
+    (node, cluster_id) with cluster_id = min node id in the component.
+
+    Hash-min label propagation — the standard distributed CC for
+    dedup graphs (each iteration: join labels to the symmetric edge
+    list, take min over neighborhood, converge when no label moves).
+    Iterations needed = graph diameter; near-dup graphs are
+    short-diameter (clusters of copies), so this converges in a
+    handful of rounds even at 10^12 docs.  Each round is one shuffle
+    join + one groupBy; ``localCheckpoint`` truncates the growing
+    lineage so round N does not replay rounds 1..N-1.
+
+    The reference has no graph operator; this is the cluster-scale
+    completion of its duplicate-id detection (core/node.py:63-67) —
+    pairs in, one exemplar per duplicate *group* out.
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("_moved"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        moved = updated.filter(F.col("_moved")).limit(1).count()
+        labels = updated.drop("_moved")
+        if moved == 0:
+            break
+    return labels
+
+
+def cluster_summary(components: DataFrame) -> DataFrame:
+    """(cluster_id, size, keep_id): one row per duplicate cluster;
+    keep_id = cluster representative (min node = cluster_id)."""
+    return (
+        components.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"), F.min("node").alias("keep_id"))
+    )

@@ -1,0 +1,61 @@
+"""Deterministic sampling for training-data curation.
+
+``df.sample()`` is seed-dependent per partition-split and not
+reproducible across engines or cluster sizes; curation pipelines at
+10^12 rows need samples that are (a) stable under re-partitioning and
+resume, (b) auditable (membership is a pure function of the key), and
+(c) recomputable by an external oracle.  Both properties come from
+**hash-threshold sampling**: keep a row iff the first 4 hex chars of
+``md5(key)`` fall below a threshold derived from the fraction.
+Lexicographic compare on fixed-length lowercase hex == numeric
+compare, so the predicate is a codegen'd string comparison — no UDF,
+no shuffle, fully pushed into the scan's filter stage.
+
+(The reference's randomness is generation-side only —
+fences/core/random.py — with no sampling operator; this is engine
+infrastructure the north-rule pipeline needs.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SPACE = 16 ** 4  # first 4 hex chars
+
+
+def hash_bucket(key: Column) -> Column:
+    """First 4 hex chars of md5(key-as-string) — a uniform bucket in
+    '0000'..'ffff', identical in Spark and DuckDB."""
+    return F.substring(F.md5(key.cast("string").cast("binary")), 1, 4)
+
+
+def threshold_hex(fraction: float) -> str:
+    """Threshold t such that P(bucket < t) ≈ fraction under
+    lexicographic compare of the fixed-width hex bucket.  fraction=1.0
+    must keep everything, so it maps to a sentinel above every hex
+    string ('g' > 'f'); "10000" would sort BEFORE "ffff" and silently
+    drop ~94% of rows."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    n = int(fraction * _SPACE)
+    if n >= _SPACE:
+        return "g"
+    return format(n, "04x")
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep ~fraction of rows, membership a pure function of the key
+    (stable across partitioning, cluster size, resume)."""
+    return df.filter(hash_bucket(F.col(key_col)) < F.lit(threshold_hex(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum hash-threshold sampling (the deterministic
+    ``sampleBy``): fractions maps stratum value → keep fraction."""
+    thr: Column = F.lit(threshold_hex(default_fraction))
+    for value, frac in fractions.items():
+        thr = F.when(F.col(strata_col) == value, F.lit(threshold_hex(frac))).otherwise(thr)
+    return df.filter(hash_bucket(F.col(key_col)) < thr)

@@ -302,3 +302,69 @@ class TestMultimodal:
         media = synth_media_table(spark, 3)
         with pytest.raises(Exception, match="NotImplementedError|real decode"):
             extract_features(media, decode="real").collect()
+
+
+class TestConnectedComponents:
+    def test_chain_and_separate_components(self, spark):
+        from fences_spark.operators.dedup import cluster_summary, connected_components
+        # chain 1-2-3-4 (diameter 3) + pair 10-11 + pair 20-21
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a bigint, id_b bigint")
+        comp = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+        summary = {r.cluster_id: (r.size, r.keep_id)
+                   for r in cluster_summary(connected_components(pairs)).collect()}
+        assert summary == {1: (4, 1), 10: (2, 10), 20: (2, 20)}
+
+    def test_cycle_converges(self, spark):
+        from fences_spark.operators.dedup import connected_components
+        pairs = spark.createDataFrame(
+            [(5, 6), (6, 7), (7, 5)], "id_a bigint, id_b bigint")
+        comp = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+        assert comp == {5: 5, 6: 5, 7: 5}
+
+    def test_empty_pairs(self, spark):
+        from fences_spark.operators.dedup import connected_components
+        pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+        assert connected_components(pairs).count() == 0
+
+
+class TestDeterministicSampling:
+    def test_fraction_and_determinism(self, spark):
+        from fences_spark.operators.sampling import deterministic_sample
+        df = spark.range(20000).withColumnRenamed("id", "k")
+        got = deterministic_sample(df, "k", 0.10)
+        n = got.count()
+        assert abs(n / 20000 - 0.10) < 0.02
+        # stable under repartitioning (pure function of the key)
+        ids1 = sorted(r.k for r in got.collect())
+        ids2 = sorted(r.k for r in deterministic_sample(df.repartition(13), "k", 0.10).collect())
+        assert ids1 == ids2
+
+    def test_monotone_nesting(self, spark):
+        # a 5% sample is a subset of the 20% sample (threshold order)
+        from fences_spark.operators.sampling import deterministic_sample
+        df = spark.range(5000).withColumnRenamed("id", "k")
+        small = {r.k for r in deterministic_sample(df, "k", 0.05).collect()}
+        big = {r.k for r in deterministic_sample(df, "k", 0.20).collect()}
+        assert small <= big
+
+    def test_stratified(self, spark):
+        from fences_spark.operators.sampling import stratified_sample
+        from pyspark.sql import functions as F
+        df = spark.range(10000).select(
+            F.col("id").alias("k"),
+            F.when(F.pmod("id", 2) == 0, "en").otherwise("de").alias("lang"))
+        got = stratified_sample(df, "k", "lang", {"en": 0.30}, default_fraction=0.05)
+        by = {r.lang: r.n for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert abs(by.get("en", 0) / 5000 - 0.30) < 0.04
+        assert abs(by.get("de", 0) / 5000 - 0.05) < 0.03
+
+    def test_threshold_edges(self):
+        from fences_spark.operators.sampling import threshold_hex
+        import pytest as _pytest
+        assert threshold_hex(0.0) == "0000"
+        # fraction 1.0 keeps every row under lexicographic compare
+        assert "ffff" < threshold_hex(1.0)
+        with _pytest.raises(ValueError):
+            threshold_hex(1.5)
