@@ -78,6 +78,21 @@ ORACLE_SPECS: dict[str, SchemaType] = {
         "dependentRequired": {"a": ["b", "c"]},
         "properties": {"a": True, "b": True, "c": True},
     },
+    "obj_pattern_props": {
+        "type": "object",
+        "patternProperties": {"^x_": {"type": "integer", "minimum": 0}},
+        "properties": {"name": {"type": "string"}},
+    },
+    "obj_prop_names": {
+        "type": "object",
+        "propertyNames": {"maxLength": 4},
+    },
+    "obj_dep_schemas": {
+        "type": "object",
+        "dependentSchemas": {"credit": {"required": ["limit"],
+                                        "properties": {"limit": {"type": "number", "minimum": 0}}}},
+        "properties": {"credit": True, "limit": True},
+    },
     "type_lattice": {"type": ["integer", "object"]},
     "bool_allof_false": {"allOf": [True, False]},
     "bool_oneof_false": {"oneOf": [False, False]},

@@ -360,7 +360,56 @@ def _object_candidates(s: dict, ev: Evaluator, depth: int) -> list[Any]:
         for kk in needed:
             d2.pop(kk, None)
         out.append(d2)
+    for pat, sub in s.get("patternProperties", {}).items():
+        # one key matching the pattern, with a conforming and a
+        # violating value (pattern fences, evaluator decides verdicts)
+        key = _sample_for_pattern(pat)
+        if key is not None:
+            cands = generate_candidates(sub, ev, depth + 1)
+            goods = [c for c in cands if ev.validate(c, sub)]
+            bads = [c for c in cands if not ev.validate(c, sub)]
+            if goods:
+                out.append({**good, key: goods[0]})
+            if bads:
+                out.append({**good, key: bads[0]})
+    if "propertyNames" in s:
+        sub = s["propertyNames"]
+        name_cands = [c for c in generate_candidates(sub, ev, depth + 1)
+                      if isinstance(c, str)]
+        ok_names = [c for c in name_cands if ev.validate(c, sub)]
+        bad_names = [c for c in name_cands if not ev.validate(c, sub)]
+        if ok_names:
+            out.append({**good, ok_names[0]: 1})
+        if bad_names:
+            out.append({**good, bad_names[0]: 1})
+    for trigger, sub in s.get("dependentSchemas", {}).items():
+        base = dict(good)
+        base[trigger] = good.get(trigger, 1)
+        out.append(dict(base))
+        # whole-object variants from the dependent schema's own fences
+        for cand in _object_candidates(sub, ev, depth + 1) if isinstance(sub, dict) else []:
+            if isinstance(cand, dict):
+                out.append({**cand, trigger: base[trigger]})
     return out
+
+
+def _sample_for_pattern(pat: str) -> str | None:
+    """A short string matching ``pat`` — literal prefix heuristic
+    good enough for the fixture patterns (^-anchored literals)."""
+    import re as _re
+
+    literal = pat.lstrip("^").rstrip("$")
+    if _re.escape(literal) == literal and literal:
+        candidate = literal
+    else:
+        candidate = literal.replace("[a-z]", "a").replace("[0-9]", "1")
+        candidate = candidate.replace("+", "").replace("*", "")
+    try:
+        if _re.search(pat, candidate):
+            return candidate
+    except _re.error:
+        return None
+    return None
 
 
 def generate_candidates(schema: SchemaType, ev: Evaluator | None = None, depth: int = 0) -> list[Any]:
