@@ -65,6 +65,26 @@ def _json_type_of(dtype: T.DataType) -> str:
     raise CompileError(f"unsupported Spark type for typed compile: {dtype}")
 
 
+_JAVA_ONLY_REGEX = ("\\p{", "\\P{", "\\x{", "*+", "++", "?+", "\\Q", "\\E")
+
+
+def _require_portable_regex(pat: str) -> None:
+    """Map-tier patternProperties keys match with Java regex (rlike)
+    while the evaluator ground truth uses Python re — restrict to the
+    common subset so the two tiers can never return different verdicts
+    for the same schema.  Non-portable patterns raise CompileError and
+    fall back to the Arrow evaluator tier (Python semantics)."""
+    try:
+        re.compile(pat)
+    except re.error as exc:
+        raise CompileError(f"pattern {pat!r} not valid in Python re: {exc}") from exc
+    for marker in _JAVA_ONLY_REGEX:
+        if marker in pat:
+            raise CompileError(
+                f"pattern {pat!r} uses Java-only construct {marker!r}; UDF tier handles it"
+            )
+
+
 def _all(preds: list[Column]) -> Column:
     if not preds:
         return F.lit(True)
@@ -401,6 +421,8 @@ class TypedCompiler:
                 ).otherwise(True)
             )
         pat_props = s.get("patternProperties", {})
+        for pat in pat_props:
+            _require_portable_regex(pat)
         for pat, sub in pat_props.items():
             matching = F.map_filter(col, lambda k, _: k.rlike(pat))
             preds.append(

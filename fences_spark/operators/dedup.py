@@ -386,8 +386,15 @@ def connected_components(
         moved = updated.filter(F.col("_moved")).limit(1).count()
         labels = updated.drop("_moved")
         if moved == 0:
-            break
-    return labels
+            return labels
+    # falling through would silently return WRONG labels for any
+    # component whose diameter exceeds max_iter (e.g. a 30-doc chain):
+    # the caller's oracle computes the exact transitive closure, so
+    # non-convergence must be loud, not approximate
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(component diameter too large); raise max_iter"
+    )
 
 
 def cluster_summary(components: DataFrame) -> DataFrame:

@@ -118,10 +118,13 @@ class Repetition(RightHandSide):
 
 
 class CharacterRange(RightHandSide):
-    """Inclusive codepoint range; open ends follow the reference
-    (None start → 0, None stop → U+10FFF, fences/grammar/types.py:71-92)."""
+    """Inclusive codepoint range; open ends mean 0 / U+10FFFF.  (The
+    reference caps at 0x10FFF, fences/grammar/types.py:73 — a typo'd
+    Unicode max that would reject all astral-plane characters; the
+    validator uses the true maximum so e.g. emoji inside JSON strings
+    validate exactly as ``json.loads`` accepts them.)"""
 
-    UNICODE_MAX = 0x10FFF
+    UNICODE_MAX = 0x10FFFF
 
     def __init__(self, start: Optional[str], stop: Optional[str]) -> None:
         self.start = 0 if start is None else ord(start)
@@ -260,7 +263,10 @@ def _class_char(cp: int) -> str:
     if ch in _CLASS_ESCAPE:
         return "\\" + ch
     if cp < 0x20 or cp == 0x7F:
-        return "\\x{%02x}" % cp
+        # \xNN (two hex digits) parses in Java regex, RE2 AND Python
+        # re; the \x{...} form is Java/RE2-only and breaks the
+        # driver-side accepts() path
+        return "\\x%02x" % cp
     return ch
 
 
@@ -270,28 +276,93 @@ def _range_class(lo: int, hi: int) -> str:
     return f"[{_class_char(lo)}-{_class_char(hi)}]"
 
 
+def _rhs_nt_deps(rhs: Rhs, out: set) -> None:
+    """Collect nonterminal names referenced by an RHS tree."""
+    if isinstance(rhs, NonTerminal):
+        out.add(rhs.name)
+    elif isinstance(rhs, Concatenation):
+        for e in rhs.elements:
+            _rhs_nt_deps(e, out)
+    elif isinstance(rhs, Alternative):
+        for e in rhs.elements:
+            _rhs_nt_deps(e, out)
+    elif isinstance(rhs, list):
+        for e in rhs:
+            _rhs_nt_deps(e, out)
+    elif isinstance(rhs, Repetition):
+        _rhs_nt_deps(rhs.element, out)
+
+
+def grammar_is_recursive(grammar: Grammar) -> bool:
+    """Cycle detection on the ORIGINAL nonterminal graph (not the
+    normalized productions: unbounded Repetition desugars into a
+    self-recursive tail there, which would misclassify every `{m,}`
+    grammar as recursive and cost it the pure-JVM regex tier)."""
+    deps: Dict[str, set] = {}
+    for key, rhs in grammar.items():
+        s: set = set()
+        _rhs_nt_deps(rhs, s)
+        deps[_nt_name(key)] = s
+    WHITE, GRAY, BLACK = 0, 1, 2
+    color = {n: WHITE for n in deps}
+
+    def visit(n: str) -> bool:
+        color[n] = GRAY
+        for m in deps.get(n, ()):
+            c = color.get(m, BLACK)
+            if c == GRAY:
+                return True
+            if c == WHITE and visit(m):
+                return True
+        color[n] = BLACK
+        return False
+
+    return any(color[n] == WHITE and visit(n) for n in list(deps))
+
+
 def regex_of(grammar: Grammar, start: Union[NonTerminal, str]) -> str:
-    """Compile an **acyclic** grammar to an unanchored regex body.
-    Raises GrammarError on recursion."""
-    prods, start_name = to_productions(grammar, start)
-    if _is_recursive(prods):
+    """Compile an **acyclic** grammar to an unanchored regex body by
+    walking the raw RHS tree — bounded AND unbounded Repetition map to
+    native quantifiers ({m,n} / {m,}).  Raises GrammarError on
+    recursion among nonterminals."""
+    if grammar_is_recursive(grammar):
         raise GrammarError("grammar is recursive; regex tier unavailable")
+    by_name: Dict[str, Rhs] = {_nt_name(k): v for k, v in grammar.items()}
+    start_name = _nt_name(start)
+    if start_name not in by_name:
+        raise GrammarError(f"start nonterminal {start_name!r} not defined")
     memo: Dict[str, str] = {}
 
     def nt(name: str) -> str:
+        if name not in by_name:
+            raise GrammarError(f"undefined nonterminal {name!r}")
         if name not in memo:
-            memo[name] = alt(prods[name])
+            memo[name] = rx(by_name[name])
         return memo[name]
 
-    def atom_rx(atom: Atom) -> str:
-        if atom[0] == "c":
-            return re.escape(atom[1])
-        if atom[0] == "r":
-            return _range_class(atom[1], atom[2])
-        return "(?:" + nt(atom[1]) + ")"
+    def group(body: str) -> str:
+        return "(?:" + body + ")"
 
-    def alt(seqs: List[Tuple[Atom, ...]]) -> str:
-        return "|".join("".join(atom_rx(a) for a in seq) for seq in seqs)
+    def rx(rhs: Rhs) -> str:
+        if isinstance(rhs, str):
+            return re.escape(rhs)
+        if isinstance(rhs, Terminal):
+            return re.escape(rhs.value)
+        if isinstance(rhs, NonTerminal):
+            return group(nt(rhs.name))
+        if isinstance(rhs, CharacterRange):
+            return _range_class(rhs.start, rhs.stop)
+        if isinstance(rhs, list) or isinstance(rhs, Alternative):
+            elems = rhs if isinstance(rhs, list) else rhs.elements
+            return group("|".join(rx(e) for e in elems))
+        if isinstance(rhs, Concatenation):
+            return "".join(rx(e) for e in rhs.elements)
+        if isinstance(rhs, Repetition):
+            body = group(rx(rhs.element))
+            if rhs.stop is None:
+                return body + "{%d,}" % rhs.start
+            return body + "{%d,%d}" % (rhs.start, rhs.stop)
+        raise GrammarError(f"unknown RHS element: {rhs!r}")
 
     return nt(start_name)
 
@@ -381,7 +452,10 @@ class CompiledGrammar:
 
     def __init__(self, grammar: Grammar, start: Union[NonTerminal, str] = "start") -> None:
         self.prods, self.start = to_productions(grammar, start)
-        self.is_recursive = _is_recursive(self.prods)
+        # tier choice keys off the ORIGINAL nonterminal graph: an
+        # unbounded Repetition desugars to a self-recursive tail in
+        # self.prods but is a plain {m,} quantifier in regex
+        self.is_recursive = grammar_is_recursive(grammar)
         self.regex: Optional[str] = None
         if not self.is_recursive:
             self.regex = regex_of(grammar, start)
@@ -447,22 +521,6 @@ def generate_samples(grammar: Grammar, start: Union[NonTerminal, str] = "start",
                 if total < minlen[name]:
                     minlen[name] = total
                     changed = True
-
-    def min_seq(seqs: List[Tuple[Atom, ...]]) -> Tuple[Atom, ...]:
-        def cost(seq):
-            return sum(1 if a[0] in ("c", "r") else minlen[a[1]] for a in seq)
-        return min(seqs, key=cost)
-
-    def emit_min(name: str, out: List[str], depth: int = 0) -> None:
-        if depth > 500:
-            raise GrammarError("runaway derivation")
-        for a in min_seq(prods[name]):
-            if a[0] == "c":
-                out.append(a[1])
-            elif a[0] == "r":
-                out.append(chr(a[1]))
-            else:
-                emit_min(a[1], out, depth + 1)
 
     samples: List[str] = []
     seen: set = set()

@@ -59,6 +59,10 @@ def _inline_components(schema: Any, components: dict, depth: int = 0) -> Any:
                 raise OpenApiError(f"unresolved component schema {name!r}")
             merged = {k: v for k, v in schema.items() if k != "$ref"}
             inlined = _inline_components(copy.deepcopy(target), components, depth + 1)
+            if not isinstance(inlined, dict):
+                # boolean schema target (OpenAPI 3.1): siblings cannot
+                # merge into it; the bool wins
+                return inlined
             inlined.update(merged)
             return inlined
         return {k: _inline_components(v, components, depth + 1)
@@ -105,13 +109,25 @@ class Operation:
         return "".join(out), names
 
 
+_HTTP_METHODS = {"get", "put", "post", "delete", "options", "head", "patch", "trace"}
+
+
 def parse_spec(spec: dict) -> dict[str, Operation]:
     components = spec.get("components", {})
     ops: dict[str, Operation] = {}
-    for path, methods in spec.get("paths", {}).items():
-        for method, op in methods.items():
+    for path, path_item in spec.get("paths", {}).items():
+        # path items carry non-operation fields (summary, description,
+        # servers, shared parameters) alongside the method keys
+        shared_params = path_item.get("parameters", [])
+        for method, op in path_item.items():
+            if method.lower() not in _HTTP_METHODS:
+                continue
             params = []
-            for idx, p in enumerate(op.get("parameters", [])):
+            op_param_keys = {(p.get("name"), p.get("in"))
+                             for p in op.get("parameters", [])}
+            inherited = [p for p in shared_params
+                         if (p.get("name"), p.get("in")) not in op_param_keys]
+            for idx, p in enumerate(list(op.get("parameters", [])) + inherited):
                 pos = p["in"]
                 params.append(Parameter(
                     name=p["name"],

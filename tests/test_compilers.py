@@ -340,3 +340,13 @@ class TestAdvancedObjectKeywords:
             got = [r["ok"] for r in df.select(F.coalesce(pred, F.lit(False)).alias("ok")).collect()]
             ev = Evaluator(schema)
             assert got == [ev.validate(value)] == [want]
+
+
+class TestPortableRegexGuard:
+    def test_java_only_pattern_rejected_on_map_tier(self, spark):
+        from fences_spark.compiler.typed import TypedCompiler
+        schema = {"type": "object",
+                  "patternProperties": {r"\p{Lower}+": {"type": "number"}}}
+        df = spark.createDataFrame([({"a": 1.0},)], "v map<string, double>")
+        with pytest.raises(CompileError):
+            TypedCompiler(schema).compile(df["v"], df.schema["v"].dataType)

@@ -256,3 +256,45 @@ def test_duckdb_oracle_agreement():
     got = [con.sql("select " + cg.sql_full_match("?v") .replace("?v", f"'{c}'")).fetchone()[0]
            for c in cases]
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+# ---------------------------------------------------------------------------
+
+def test_unbounded_repetition_stays_regex_tier():
+    # `a{1,}` is regular; the desugared self-recursive tail production
+    # must not cost it the JVM tier (review finding)
+    from fences_spark.schema.grammar import Terminal
+    cg = CompiledGrammar({"start": Terminal("a") * (1, None)}, "start")
+    assert not cg.is_recursive
+    assert cg.regex is not None
+    assert cg.accepts("a" * 100) and not cg.accepts("")
+    # oracle SQL available for unbounded grammars too
+    assert "regexp_matches" in cg.sql_full_match("x")
+
+
+def test_astral_plane_characters_accepted():
+    # CharacterRange(' ', None) must reach U+10FFFF (reference's
+    # 0x10FFF constant is a typo that rejects emoji)
+    g = {"start": CharacterRange(" ", None)}
+    cg = CompiledGrammar(g, "start")
+    assert cg.accepts("\U0001F600")
+    g2, start = json_grammar()
+    cg2 = CompiledGrammar(g2, start)
+    s = '"\U0001F600"'
+    json.loads(s)
+    assert cg2.accepts(s)
+
+
+def test_control_char_class_portable():
+    # \xNN escapes must parse in Python re (driver-side accepts),
+    # Java (rlike) and RE2 (DuckDB oracle)
+    g = {"start": CharacterRange("\x00", "\x1f")}
+    cg = CompiledGrammar(g, "start")
+    assert cg.accepts("\x05")
+    assert not cg.accepts("A")
+    import duckdb
+    got = duckdb.sql(
+        "select " + cg.sql_full_match("chr(5)")).fetchone()[0]
+    assert got is True

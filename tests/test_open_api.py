@@ -152,3 +152,50 @@ def test_verdicts_aggregate(spark, validated):
     assert got["getOrder"] == (2, 5)
     assert got["createOrder"] == (1, 4)
     assert got[None] == (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+# ---------------------------------------------------------------------------
+
+def test_path_level_fields_and_shared_parameters():
+    spec = {
+        "paths": {
+            "/things/{id}": {
+                "summary": "path-level summary is not a method",
+                "description": "neither is this",
+                "parameters": [
+                    {"name": "id", "in": "path",
+                     "schema": {"type": "integer", "minimum": 1}},
+                ],
+                "get": {"operationId": "getThing", "responses": {}},
+                "delete": {
+                    "operationId": "delThing",
+                    "parameters": [
+                        {"name": "id", "in": "path",  # overrides shared
+                         "schema": {"type": "integer", "minimum": 100}},
+                    ],
+                    "responses": {},
+                },
+            }
+        }
+    }
+    ops = parse_spec(spec)
+    assert set(ops) == {"getThing", "delThing"}
+    get_id = next(p for p in ops["getThing"].parameters if p.name == "id")
+    assert get_id.schema["minimum"] == 1          # inherited from path level
+    del_id = next(p for p in ops["delThing"].parameters if p.name == "id")
+    assert del_id.schema["minimum"] == 100        # operation override wins
+
+
+def test_boolean_component_schema_ref():
+    spec = {
+        "components": {"schemas": {"Any": True}},
+        "paths": {"/x": {"get": {
+            "operationId": "x",
+            "parameters": [{"name": "q", "in": "query",
+                            "schema": {"$ref": "#/components/schemas/Any"}}],
+            "responses": {}}}},
+    }
+    ops = parse_spec(spec)
+    assert ops["x"].parameters[0].schema is True
