@@ -470,6 +470,39 @@ def _sql_minhash() -> str:
     return "WITH " + _minhash_ctes() + "\nSELECT id_a, id_b FROM mh_pairs"
 
 
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates refined with the fraction-of-equal-minhashes
+    Jaccard estimator (24 hashes) — the verify stage of the dedup
+    pipeline, computed from ONE signature pass (banding uses the
+    24-hash signature's first 12 entries; ReusedExchange shares the
+    aggregate across the banding branch and both join sides)."""
+    from fences_spark.operators.dedup import minhash_near_dup_scored
+
+    docs = _t(spark, sf_dir, "documents")
+    est = minhash_near_dup_scored(
+        docs, "doc_id", "text", n_hashes=2 * _MINHASH_N,
+        band_hashes=_MINHASH_N, band_size=_BAND, shingle_k=_SHK)
+    return est.select("id_a", "id_b", F.col("jaccard_est").cast("double").alias("jaccard_est"))
+
+
+def _sql_near_dup_jaccard() -> str:
+    n24 = 2 * _MINHASH_N
+    sig24 = ", ".join(
+        f"list_min(list_transform(shingles, x -> md5('{s}:' || x)))" for s in range(n24)
+    )
+    return (
+        "WITH " + _minhash_ctes() + f""",
+sig24 AS (
+  SELECT doc_id, [{sig24}] AS s24 FROM sh
+)
+SELECT p.id_a, p.id_b,
+       (len(list_filter(range(1, {n24 + 1}), i -> a.s24[i] = b.s24[i])) / {n24}.0)::DOUBLE AS jaccard_est
+FROM mh_pairs p
+JOIN sig24 a ON a.doc_id = p.id_a
+JOIN sig24 b ON b.doc_id = p.id_b
+""")
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash pairs → connected components (hash-min label
     propagation) → per-cluster summary.  The oracle computes the same
@@ -1159,6 +1192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "openapi_requests": q_openapi_requests,
     "xsd_orders_xml": q_xsd_orders_xml,
     "near_dup_clusters": q_near_dup_clusters,
+    "near_dup_jaccard": q_near_dup_jaccard,
     "sample_documents": q_sample_documents,
     "validate_documents": q_validate_documents,
     "violations_events_props": q_violations_events_props,
@@ -1196,6 +1230,7 @@ ORACLE_SQL: dict[str, str] = {
     "openapi_requests": SQL_OPENAPI_REQUESTS,
     "xsd_orders_xml": SQL_XSD_ORDERS_XML,
     "near_dup_clusters": _sql_near_dup_clusters(),
+    "near_dup_jaccard": _sql_near_dup_jaccard(),
     "sample_documents": SQL_SAMPLE_DOCUMENTS,
     "validate_documents": SQL_VALIDATE_DOCUMENTS,
     "violations_events_props": SQL_VIOLATIONS_EVENTS_PROPS,

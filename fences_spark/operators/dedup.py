@@ -180,6 +180,10 @@ def minhash_jaccard_estimate(
     """Refine candidate pairs with the fraction-of-equal-minhashes
     Jaccard estimator (signatures computed once, joined twice)."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k)
+    return _score_pairs(pairs, sigs, n_hashes)
+
+
+def _score_pairs(pairs: DataFrame, sigs: DataFrame, n_hashes: int) -> DataFrame:
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -189,6 +193,79 @@ def minhash_jaccard_estimate(
         lambda acc, v: acc + v,
     )
     return joined.select("id_a", "id_b", (eq / F.lit(n_hashes)).alias("jaccard_est"))
+
+
+def _bands_to_pairs(sig_prefix: DataFrame, n_band_hashes: int, band_size: int,
+                    max_band_group: int) -> DataFrame:
+    """sig_prefix(doc_id, sig) → candidate pairs via banding (shared
+    by minhash_lsh_pairs and minhash_near_dup_scored)."""
+    n_bands = n_band_hashes // band_size
+    bands = sig_prefix.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws("|", *[
+                    F.element_at("sig", b * band_size + r + 1) for r in range(band_size)
+                ]))
+                for b in range(n_bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+    grouped = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.slice(F.array_sort(F.collect_list("doc_id")), 1, max_band_group).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, idx: F.transform(
+                        F.slice(F.col("ids"), idx + 2, F.size(F.col("ids"))),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+
+
+def minhash_near_dup_scored(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 24,
+    band_hashes: int = 12,
+    band_size: int = 3,
+    shingle_k: int = 3,
+    max_band_group: int = 64,
+) -> DataFrame:
+    """Candidates + Jaccard estimate from ONE signature pass: the
+    full ``n_hashes`` signature is computed once; banding uses its
+    first ``band_hashes`` entries (seeds 0..band_hashes-1, identical
+    to minhash_lsh_pairs at that size) and scoring uses all of it.
+    The corpus is shingled exactly once — the signature aggregate's
+    shuffle is reused (ReusedExchange) by the banding branch and both
+    join sides, vs 3 full re-shingles when pairing and scoring are
+    composed naively.  This is the shape to run at 10^12 docs."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k)
+    # Stage the signature relation: three consumers read it (banding,
+    # both join sides) and Catalyst does NOT de-duplicate the aggregate
+    # subtree (lambda-bearing shingle expressions defeat plan
+    # canonicalization → no ReusedExchange), so without staging the
+    # corpus would be re-shingled three times.  The signature relation
+    # is ~30 bytes/hash/doc — orders of magnitude smaller than the
+    # corpus — so MEMORY_AND_DISK staging is the right call at every
+    # scale; at 10^12 docs the same pattern writes sigs to a table
+    # first (runner-style) instead of the block cache.
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    prefix = sigs.select("doc_id", F.slice("sig", 1, band_hashes).alias("sig"))
+    pairs = _bands_to_pairs(prefix, band_hashes, band_size, max_band_group)
+    return _score_pairs(pairs, sigs, n_hashes)
 
 
 # ---------------------------------------------------------------------------
