@@ -180,6 +180,31 @@ class XsdCompiler:
         props: dict[str, dict] = {}
         required: list[str] = []
 
+        complex_content = node.find(f"{_XS}complexContent")
+        if complex_content is not None:
+            # type inheritance: extension merges the base complex
+            # type's properties with the extension's own content
+            # (reference handler list, xml_schema/parse.py:12-28)
+            ext = complex_content.find(f"{_XS}extension")
+            if ext is None:
+                raise XsdError("complexContent without extension unsupported")
+            base = self._resolve_named(ext.get("base", ""))
+            if base.get("type") != "object":
+                raise XsdError("complexContent base must be a complex type")
+            merged_props = dict(base.get("properties", {}))
+            merged_req = list(base.get("required", []))
+            own = self._complex_type_body(ext)
+            merged_props.update(own.get("properties", {}))
+            for k in own.get("required", []):
+                if k not in merged_req:
+                    merged_req.append(k)
+            out: dict = {"type": "object", "properties": merged_props}
+            if merged_req:
+                out["required"] = merged_req
+            if "oneOf" in own:
+                out["oneOf"] = own["oneOf"]
+            return out
+
         simple_content = node.find(f"{_XS}simpleContent")
         if simple_content is not None:
             ext = simple_content.find(f"{_XS}extension")
@@ -192,6 +217,12 @@ class XsdCompiler:
                 self._add_attribute(attr, props, required)
             return {"type": "object", "properties": props, "required": required}
 
+        return self._complex_type_body(node)
+
+    def _complex_type_body(self, node: ET.Element) -> dict:
+        """Groups + attributes of a complexType or extension node."""
+        props: dict[str, dict] = {}
+        required: list[str] = []
         for group_tag in ("sequence", "all", "choice"):
             group = node.find(f"{_XS}{group_tag}")
             if group is None:
@@ -206,6 +237,10 @@ class XsdCompiler:
                 props[name] = self._element_occurs_schema(el)
                 if not choice and el.get("minOccurs", "1") != "0":
                     required.append(name)
+            # xs:any wildcard (reference handler list, parse.py:12-28):
+            # extra elements allowed — the dialect's object semantics
+            # already permit unknown keys unless additionalProperties
+            # restricts them, so the wildcard needs no constraint
             if choice and names:
                 # exactly-one of the alternatives present
                 return {

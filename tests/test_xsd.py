@@ -192,3 +192,47 @@ def test_spark_xml_mode(spark, person_schema):
         assert got[doc] == truth, doc
     conf = res.confusion("truth").collect()[0]
     assert conf["valid_rejected"] == 0 and conf["invalid_accepted"] == 0
+
+
+class TestComplexContent:
+    XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:complexType name="BaseT">
+    <xs:sequence>
+      <xs:element name="id" type="xs:positiveInteger"/>
+      <xs:any minOccurs="0"/>
+    </xs:sequence>
+    <xs:attribute name="version" use="required"/>
+  </xs:complexType>
+  <xs:element name="thing">
+    <xs:complexType>
+      <xs:complexContent>
+        <xs:extension base="BaseT">
+          <xs:sequence>
+            <xs:element name="label" type="xs:string"/>
+          </xs:sequence>
+          <xs:attribute name="extra" type="xs:int"/>
+        </xs:extension>
+      </xs:complexContent>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+    def test_extension_merges_base(self):
+        from fences_spark.schema.xsd import parse_xsd, validate_xml
+        schema = parse_xsd(self.XSD)["thing"]
+        props = schema["properties"]
+        assert set(props) >= {"id", "label", "@version", "@extra"}
+        assert set(schema["required"]) == {"id", "@version", "label"}
+        ok = '<thing version="1"><id>5</id><label>x</label></thing>'
+        missing_label = '<thing version="1"><id>5</id></thing>'
+        missing_version = '<thing><id>5</id><label>x</label></thing>'
+        bad_base_id = '<thing version="1"><id>0</id><label>x</label></thing>'
+        wildcard_extra = ('<thing version="1"><id>5</id><label>x</label>'
+                          '<anything>zz</anything></thing>')
+        assert validate_xml(ok, schema)
+        assert not validate_xml(missing_label, schema)
+        assert not validate_xml(missing_version, schema)
+        assert not validate_xml(bad_base_id, schema)       # base facet enforced
+        assert validate_xml(wildcard_extra, schema)        # xs:any permits extras
