@@ -1,0 +1,48 @@
+"""Property-based conformance fuzz: on ARBITRARY JSON values (not
+just our generator's boundary samples), the engine's evaluator must
+agree with ``jsonschema.Draft202012Validator`` for every fixture
+schema.  This is the random-sampling leg of the reference's coverage
+comparison (test_json_schema_test_suite.py:244-409, which races
+fences against hypothesis-jsonschema) — here the random values come
+from a plain recursive JSON strategy and conformance, not coverage,
+is the property.
+"""
+
+from __future__ import annotations
+
+import jsonschema
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fences_spark.fixtures import ORACLE_SPECS
+from fences_spark.schema.evaluator import Evaluator
+
+DIALECT_ONLY = {"str_pattern_merged", "str_format_datetime"}
+
+FORMAT_CHECKER = jsonschema.Draft202012Validator.FORMAT_CHECKER
+
+json_values = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(10**9), max_value=10**9)
+    | st.floats(allow_nan=False, allow_infinity=False, width=32)
+    | st.text(max_size=20),
+    lambda children: st.lists(children, max_size=5)
+    | st.dictionaries(st.text(max_size=8), children, max_size=5),
+    max_leaves=12,
+)
+
+SCHEMAS = sorted(set(ORACLE_SPECS) - DIALECT_ONLY)
+
+
+@pytest.mark.parametrize("name", SCHEMAS)
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(value=json_values)
+def test_evaluator_agrees_with_jsonschema_on_random_json(name, value):
+    schema = ORACLE_SPECS[name]
+    validator = jsonschema.Draft202012Validator(schema, format_checker=FORMAT_CHECKER)
+    ours = Evaluator(schema).validate(value)
+    theirs = validator.is_valid(value)
+    assert ours == theirs, f"{name}: engine={ours} jsonschema={theirs} value={value!r}"
