@@ -46,3 +46,25 @@ def test_evaluator_agrees_with_jsonschema_on_random_json(name, value):
     ours = Evaluator(schema).validate(value)
     theirs = validator.is_valid(value)
     assert ours == theirs, f"{name}: engine={ours} jsonschema={theirs} value={value!r}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SPECS))
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(value=json_values)
+def test_normalize_preserves_verdicts_on_random_json(name, value):
+    """The reference's normalize-equivalence harness
+    (test_json_schema_test_suite.py:96-214): the original and the
+    DNF-normalized schema must accept/reject every instance
+    identically (our evaluator knows the normalizer-internal NOT_*
+    keywords, as the reference extends jsonschema for them)."""
+    from fences_spark.schema.normalize import NormalizeError, normalize
+
+    schema = ORACLE_SPECS[name]
+    try:
+        norm = normalize(schema)
+    except NormalizeError:
+        pytest.skip("normalizer declines schema")
+    before = Evaluator(schema).validate(value)
+    after = Evaluator(norm).validate(value)
+    assert before == after, f"{name}: pre={before} post={after} value={value!r}"
