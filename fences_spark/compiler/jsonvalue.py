@@ -178,12 +178,16 @@ class VariantCompiler:
             preds.append(num_gate(nval < F.lit(float(s["exclusiveMaximum"]))))
         for key, invert in (("multipleOf", False), ("NOT_multipleOf", True)):
             if key in s:
-                k = float(s[key])
+                k = s[key]
                 if k == 0:
                     p = F.lit(False)
+                elif not isinstance(k, float):
+                    # integer divisor: jsonschema uses exact modulo
+                    p = F.pmod(nval, F.lit(float(k))) == F.lit(0.0)
                 else:
+                    # float divisor: IEEE quotient must be an integer
                     q = nval / F.lit(k)
-                    p = F.abs(q - F.round(q, 0)) <= F.lit(1e-9) * F.greatest(F.abs(q), F.lit(1.0))
+                    p = (q == F.floor(q)) & (F.abs(q) != F.lit(float("inf")))
                 preds.append(num_gate(~p if invert else p))
 
         def str_gate(p: Column) -> Column:

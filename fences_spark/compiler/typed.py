@@ -171,9 +171,9 @@ class TypedCompiler:
             if "exclusiveMaximum" in s:
                 preds.append(col < F.lit(float(s["exclusiveMaximum"])))
             if "multipleOf" in s:
-                preds.append(self._multiple_pred(col, dtype, float(s["multipleOf"])))
+                preds.append(self._multiple_pred(col, dtype, s["multipleOf"]))
             if "NOT_multipleOf" in s:
-                preds.append(~self._multiple_pred(col, dtype, float(s["NOT_multipleOf"])))
+                preds.append(~self._multiple_pred(col, dtype, s["NOT_multipleOf"]))
 
         # ---- string keywords ----
         if jt == "string":
@@ -253,15 +253,21 @@ class TypedCompiler:
             return F.lit(True)
         return F.pmod(col, F.lit(1.0)) == F.lit(0.0)
 
-    def _multiple_pred(self, col: Column, dtype: T.DataType, k: float) -> Column:
+    def _multiple_pred(self, col: Column, dtype: T.DataType, k: Any) -> Column:
+        """Exact jsonschema multipleOf semantics (divisor type decides
+        the algorithm, as in jsonschema._keywords.multipleOf): integer
+        divisor → modulo; float divisor → IEEE quotient is an integer.
+        Known divergence: a quotient overflowing to ±inf evaluates
+        invalid here, where jsonschema's Fraction fallback could accept
+        (needs |value/k| > 1.8e308 — unreachable for real rulesets)."""
         if k == 0:
             return F.lit(False)
-        if isinstance(dtype, _INTEGRAL_TYPES) and float(k).is_integer():
-            return F.pmod(col, F.lit(int(k))) == F.lit(0)
-        # epsilon-tolerant float path, mirroring the evaluator (the
-        # reference itself is epsilon-sloppy here, normalize.py:138-143)
-        q = col.cast("double") / F.lit(float(k))
-        return F.abs(q - F.round(q, 0)) <= F.lit(1e-9) * F.greatest(F.abs(q), F.lit(1.0))
+        if not isinstance(k, float):
+            if isinstance(dtype, _INTEGRAL_TYPES):
+                return F.pmod(col, F.lit(int(k))) == F.lit(0)
+            return F.pmod(col.cast("double"), F.lit(float(k))) == F.lit(0.0)
+        q = col.cast("double") / F.lit(k)
+        return (q == F.floor(q)) & (F.abs(q) != F.lit(float("inf")))
 
     def _enum_pred(self, values: list[Any], col: Column, dtype: T.DataType) -> Column:
         """Membership against literals representable in ``dtype``

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 import re
+from fractions import Fraction
 from typing import Any, Union
 
 from fences_spark.schema.regex_dialect import compile_dialect_pattern
@@ -131,15 +132,24 @@ def _deep_eq(a: Any, b: Any) -> bool:
     return a == b
 
 
-def _multiple_of(value: float, k: float) -> bool:
-    """Divisibility with the float tolerance the dialect implies (the
-    reference merges multipleOf via an epsilon float-gcd,
-    fences/json_schema/normalize.py:138-143)."""
+def _multiple_of(value: Any, k: Any) -> bool:
+    """Exact divisibility with ``jsonschema.Draft202012Validator``'s
+    semantics (SURVEY.md §7 hard part (b): match jsonschema, not the
+    reference's epsilon float-gcd, fences/json_schema/normalize.py:138-143):
+    integer divisor → ``value % k == 0``; float divisor → the IEEE
+    quotient must be an integer, with exact-Fraction fallback when the
+    quotient overflows to infinity."""
+    if isinstance(k, float):
+        if k == 0.0:
+            return False
+        q = value / k
+        try:
+            return int(q) == q
+        except OverflowError:
+            return (Fraction(value) / Fraction(k)).denominator == 1
     if k == 0:
         return False
-    q = value / k
-    r = round(q)
-    return math.isclose(q, r, rel_tol=1e-9, abs_tol=1e-9)
+    return value % k == 0
 
 
 _REGEX_CACHE: dict[str, re.Pattern] = {}
@@ -252,9 +262,9 @@ class Evaluator:
                 return False
             if "exclusiveMaximum" in s and fv >= float(s["exclusiveMaximum"]):
                 return False
-            if "multipleOf" in s and not _multiple_of(fv, float(s["multipleOf"])):
+            if "multipleOf" in s and not _multiple_of(v, s["multipleOf"]):
                 return False
-            if "NOT_multipleOf" in s and _multiple_of(fv, float(s["NOT_multipleOf"])):
+            if "NOT_multipleOf" in s and _multiple_of(v, s["NOT_multipleOf"]):
                 return False
 
         # ---- string keywords ----

@@ -23,8 +23,13 @@ CASES = [
     # num_multiple (test_generate.py:52-56)
     ({"type": "number", "minimum": 100, "multipleOf": 3}, 102, True),
     ({"type": "number", "minimum": 100, "multipleOf": 3}, 101, False),
-    ({"type": "number", "multipleOf": 0.1}, 0.3, True),
+    # jsonschema-exact float semantics: 0.3/0.1 = 2.99..96 in IEEE, so
+    # 0.3 is NOT a multiple of 0.1 (jsonschema._keywords.multipleOf)
+    ({"type": "number", "multipleOf": 0.1}, 0.3, False),
+    ({"type": "number", "multipleOf": 0.1}, 0.5, True),
     ({"type": "number", "multipleOf": 0.1}, 0.35, False),
+    ({"type": "number", "multipleOf": 3}, 1073741824.0, False),
+    ({"type": "number", "multipleOf": 3}, 1073741826.0, True),
     ({"type": "integer"}, 5, True),
     ({"type": "integer"}, 5.0, True),
     ({"type": "integer"}, 5.5, False),
