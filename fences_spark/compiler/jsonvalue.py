@@ -28,7 +28,7 @@ from pyspark.sql import Column, functions as F
 
 from fences_spark.compiler import CompileError
 from fences_spark.schema.evaluator import Evaluator, SchemaType, format_regex
-from fences_spark.schema.regex_dialect import compile_dialect_pattern
+from fences_spark.schema.regex_dialect import compile_dialect_pattern, to_java_regex
 
 # ---------------------------------------------------------------------------
 # tier 2: Arrow-vectorized evaluator UDF
@@ -185,9 +185,12 @@ class VariantCompiler:
                     # integer divisor: jsonschema uses exact modulo
                     p = F.pmod(nval, F.lit(float(k))) == F.lit(0.0)
                 else:
-                    # float divisor: IEEE quotient must be an integer
+                    # float divisor: IEEE quotient must be an integer.
+                    # pmod, not floor: F.floor returns BIGINT and
+                    # overflows for |q| > 2^63; pmod(±inf,1.0)=NaN
+                    # keeps overflow-to-inf invalid.
                     q = nval / F.lit(k)
-                    p = (q == F.floor(q)) & (F.abs(q) != F.lit(float("inf")))
+                    p = F.pmod(q, F.lit(1.0)) == F.lit(0.0)
                 preds.append(num_gate(~p if invert else p))
 
         def str_gate(p: Column) -> Column:
@@ -199,12 +202,12 @@ class VariantCompiler:
             preds.append(str_gate(F.length(sval) <= F.lit(int(s["maxLength"]))))
         if "pattern" in s:
             for rx, negated in compile_dialect_pattern(s["pattern"]):
-                p = sval.rlike(rx)
+                p = sval.rlike(to_java_regex(rx))
                 preds.append(str_gate(~p if negated else p))
         if "format" in s:
             rx = format_regex(s["format"])
             if rx is not None:
-                preds.append(str_gate(sval.rlike(rx)))
+                preds.append(str_gate(sval.rlike(to_java_regex(rx))))
 
         is_arr = t.startswith("ARRAY")
 

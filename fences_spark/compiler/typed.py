@@ -30,7 +30,7 @@ from pyspark.sql import Column, functions as F, types as T
 
 from fences_spark.compiler import CompileError
 from fences_spark.schema.evaluator import Evaluator, SchemaType, format_regex
-from fences_spark.schema.regex_dialect import compile_dialect_pattern
+from fences_spark.schema.regex_dialect import compile_dialect_pattern, to_java_regex
 
 _MAX_REF_DEPTH = 12
 
@@ -184,12 +184,12 @@ class TypedCompiler:
                 preds.append(F.length(scol) <= F.lit(int(s["maxLength"])))
             if "pattern" in s:
                 for rx, negated in compile_dialect_pattern(s["pattern"]):
-                    p = scol.rlike(rx)
+                    p = scol.rlike(to_java_regex(rx))
                     preds.append(~p if negated else p)
             if "format" in s:
                 rx = format_regex(s["format"])
                 if rx is not None:
-                    preds.append(scol.rlike(rx))
+                    preds.append(scol.rlike(to_java_regex(rx)))
 
         # ---- array keywords ----
         if isinstance(dtype, T.ArrayType):
@@ -266,8 +266,13 @@ class TypedCompiler:
             if isinstance(dtype, _INTEGRAL_TYPES):
                 return F.pmod(col, F.lit(int(k))) == F.lit(0)
             return F.pmod(col.cast("double"), F.lit(float(k))) == F.lit(0.0)
+        # pmod keeps the quotient check in pure double arithmetic:
+        # F.floor returns BIGINT and overflows for |q| > 2^63 (e.g.
+        # 1e300 / 0.1), wrongly rejecting exact-integer quotients.
+        # pmod(±inf, 1.0) is NaN, and NaN == 0.0 is false, so the
+        # overflow-to-inf case stays invalid as documented.
         q = col.cast("double") / F.lit(k)
-        return (q == F.floor(q)) & (F.abs(q) != F.lit(float("inf")))
+        return F.pmod(q, F.lit(1.0)) == F.lit(0.0)
 
     def _enum_pred(self, values: list[Any], col: Column, dtype: T.DataType) -> Column:
         """Membership against literals representable in ``dtype``
@@ -430,7 +435,10 @@ class TypedCompiler:
         for pat in pat_props:
             _require_portable_regex(pat)
         for pat, sub in pat_props.items():
-            matching = F.map_filter(col, lambda k, _: k.rlike(pat))
+            jpat = to_java_regex(pat)
+            # map_filter requires a 2-arg lambda; eager call makes the
+            # jpat closure capture safe inside the loop
+            matching = F.map_filter(col, lambda k, _: k.rlike(jpat))
             preds.append(
                 F.forall(F.map_values(matching), lambda v: self._element_pred(sub, v, vt, depth))
             )
@@ -441,7 +449,7 @@ class TypedCompiler:
             def _is_other(k: Column) -> Column:
                 other = ~F.array_contains(listed, k)
                 for p in pat_props:
-                    other = other & ~k.rlike(p)
+                    other = other & ~k.rlike(to_java_regex(p))
                 return other
 
             others = F.map_filter(col, lambda k, _: _is_other(k))

@@ -27,8 +27,18 @@ test_parse.py:18-20 — that is a generation concern, not evaluation.)
 
 from __future__ import annotations
 
-# (java_regex, negated) conjuncts
+# (regex, negated) conjuncts; regex is Python/RE2-portable — wrap with
+# to_java_regex() before handing to Spark rlike
 Conjunct = tuple[str, bool]
+
+
+def to_java_regex(rx: str) -> str:
+    """Prepare a dialect conjunct for Java ``rlike``: Java's
+    ``\\w \\d \\s \\b`` are ASCII-only by default while the oracle
+    (Python ``re``, per draft-2020-12 ECMA semantics) is Unicode-aware —
+    ``(?U)`` (UNICODE_CHARACTER_CLASS) aligns them.  The flag is
+    Java-only: never feed the result to RE2 (DuckDB) or Python."""
+    return "(?U)" + rx
 
 
 def _strip_outer_parens(p: str) -> str:

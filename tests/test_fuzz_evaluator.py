@@ -25,8 +25,8 @@ FORMAT_CHECKER = jsonschema.Draft202012Validator.FORMAT_CHECKER
 json_values = st.recursive(
     st.none()
     | st.booleans()
-    | st.integers(min_value=-(10**9), max_value=10**9)
-    | st.floats(allow_nan=False, allow_infinity=False, width=32)
+    | st.integers(min_value=-(10**15), max_value=10**15)
+    | st.floats(allow_nan=False, allow_infinity=False)
     | st.text(max_size=20),
     lambda children: st.lists(children, max_size=5)
     | st.dictionaries(st.text(max_size=8), children, max_size=5),
