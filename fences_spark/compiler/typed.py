@@ -228,8 +228,16 @@ class TypedCompiler:
             )
             preds.append(F.when(if_p, then_p).otherwise(else_p))
 
-        # unsupported-on-typed keywords → UDF fallback
-        for k in ("unevaluatedProperties", "unevaluatedItems"):
+        # unsupported-on-typed keywords → UDF fallback (unevaluated*
+        # needs annotation tracking; content* needs base64/JSON decode
+        # of the payload — both live on the Arrow evaluator tier)
+        for k in (
+            "unevaluatedProperties",
+            "unevaluatedItems",
+            "contentEncoding",
+            "contentMediaType",
+            "contentSchema",
+        ):
             if k in s:
                 raise CompileError(f"keyword {k} not supported in typed compile")
 

@@ -97,7 +97,82 @@ ORACLE_SPECS: dict[str, SchemaType] = {
     "bool_allof_false": {"allOf": [True, False]},
     "bool_oneof_false": {"oneOf": [False, False]},
     "oneof_multiple": {"type": "number", "oneOf": [{"multipleOf": 3}, {"multipleOf": 5}]},
+    # unevaluated* — annotation-dependent keywords (the reference
+    # parses-but-skips them, fences/json_schema/parse.py:244-250;
+    # blacklisted in its suite runs test_json_schema_test_suite.py:249-254).
+    # Our Arrow-evaluator tier asserts full draft-2020-12 semantics,
+    # arbitrated by the jsonschema oracle.
+    "uneval_props": {
+        "type": "object",
+        "properties": {"a": {"type": "number"}},
+        "unevaluatedProperties": False,
+    },
+    "uneval_props_schema": {
+        "type": "object",
+        "properties": {"name": {"type": "string"}},
+        "patternProperties": {"^s_": {"type": "string"}},
+        "unevaluatedProperties": {"type": "integer"},
+    },
+    "uneval_props_allof": {
+        # in-place applicator annotations ARE visible: both branches'
+        # properties count as evaluated at the root
+        "allOf": [
+            {"properties": {"a": {"type": "number"}}},
+            {"properties": {"b": {"type": "string"}}},
+        ],
+        "unevaluatedProperties": False,
+    },
+    "uneval_props_ite": {
+        # only the taken if/then/else arm contributes annotations
+        "type": "object",
+        "properties": {"a": True},
+        "if": {"required": ["a"]},
+        "then": {"properties": {"b": True}},
+        "unevaluatedProperties": False,
+    },
+    "uneval_items": {
+        "type": "array",
+        "prefixItems": [{"type": "string"}],
+        "unevaluatedItems": False,
+    },
+    "uneval_items_schema": {
+        "type": "array",
+        "prefixItems": [{"type": "number"}],
+        "unevaluatedItems": {"type": "string"},
+    },
+    "uneval_items_contains": {
+        # contains marks its matched items evaluated (2020-12)
+        "type": "array",
+        "contains": {"type": "number"},
+        "unevaluatedItems": False,
+    },
+    # content* — asserted in this dialect (annotation-only in
+    # draft 2020-12, so DIALECT_ONLY vs the jsonschema oracle; the
+    # reference parses them at parse.py:304-306 and generates base64
+    # pairs for `format: byte` at parse.py:315-324)
+    "content_b64": {"type": "string", "contentEncoding": "base64"},
+    "content_b64_json": {
+        "type": "string",
+        "contentEncoding": "base64",
+        "contentMediaType": "application/json",
+        "contentSchema": {
+            "type": "object",
+            "required": ["k"],
+            "properties": {"k": {"type": "number"}},
+        },
+    },
 }
 
 # schemas that are unsatisfiable by construction (no valid sample exists)
 UNSATISFIABLE = {"bool_allof_false", "bool_oneof_false"}
+
+# fences-dialect-only constructs jsonschema cannot arbitrate: the
+# `(a)&(b)` pattern extension, the nonstandard `datetime` format name,
+# and the content* keywords (annotation-only in draft 2020-12 — our
+# dialect asserts them; see evaluator._content_ok)
+DIALECT_ONLY = {
+    "str_pattern_merged",
+    "str_format_datetime",
+    "content_b64",
+    "content_b64_json",
+}

@@ -25,10 +25,16 @@ draft-2020-12 semantics; no code is taken from the reference.
 
 from __future__ import annotations
 
+import base64
+import binascii
+import json
 import math
 import re
 from fractions import Fraction
 from typing import Any, Union
+
+# shared empty-annotation sentinel: callers only read / union-copy it
+_EMPTY: set = frozenset()  # type: ignore[assignment]
 
 from fences_spark.schema.regex_dialect import compile_dialect_pattern
 
@@ -211,26 +217,57 @@ class Evaluator:
         return node
 
     def validate(self, value: Any, schema: SchemaType | None = None, _depth: int = 0) -> bool:
+        return self._validate(value, schema, _depth)[0]
+
+    def _validate(
+        self, value: Any, schema: SchemaType | None = None, _depth: int = 0
+    ) -> tuple[bool, set, set]:
+        """Core evaluation with draft-2020-12 annotation collection:
+        returns ``(ok, evaluated_property_names, evaluated_item_indices)``.
+        The two sets feed ``unevaluatedProperties``/``unevaluatedItems``
+        — a property/item counts as *evaluated* when matched by
+        properties / patternProperties / additionalProperties /
+        prefixItems / items / contains of this schema object, or by any
+        **successful in-place applicator** at the same instance
+        location ($ref, allOf, succeeding anyOf/oneOf branches,
+        the taken if/then/else arm, triggered dependentSchemas).
+        Sibling branches of a failed applicator contribute nothing,
+        and annotations never cross into child locations — the exact
+        visibility rules ``jsonschema.Draft202012Validator`` (the
+        oracle, tests/test_fuzz_evaluator.py) implements.  The
+        reference parses these keywords but never generates for them
+        (fences/json_schema/parse.py:244-250); evaluation semantics
+        here follow the spec, arbitrated by the oracle."""
+        _none: set = _EMPTY
         if _depth > self.MAX_DEPTH:
             # recursive schema deeper than any sane instance; treat as
             # invalid rather than recurse forever
-            return False
+            return False, _none, _none
         if schema is None:
             schema = self.root
         if schema is True:
-            return True
+            return True, _none, _none
         if schema is False:
-            return False
+            return False, _none, _none
         if not isinstance(schema, dict):
             raise TypeError(f"schema must be dict or bool: {schema!r}")
 
         s = schema
         v = value
         dep = _depth + 1
+        # annotations this schema object accumulates for its own
+        # unevaluated* keywords and for its caller (in-place merge)
+        ev_props: set = set()
+        ev_items: set = set()
 
         if "$ref" in s:
-            if not self.validate(v, self._resolve_ref(s["$ref"]), dep):
-                return False
+            ok, p, i = self._validate(v, self._resolve_ref(s["$ref"]), dep)
+            if not ok:
+                return False, _none, _none
+            ev_props |= p
+            ev_items |= i
+
+        _fail = (False, _none, _none)
 
         # ---- type ----
         if "type" in s:
@@ -239,102 +276,122 @@ class Evaluator:
             # empty type list is always-false, matching the reference
             # suite behavior (test_json_schema_test_suite.py:71-84)
             if not any(_type_matches(v, t) for t in ts):
-                return False
+                return _fail
 
         # ---- enum / const (+ normalizer-internal negations) ----
         if "enum" in s and not any(_deep_eq(v, e) for e in s["enum"]):
-            return False
+            return _fail
         if "NOT_enum" in s and any(_deep_eq(v, e) for e in s["NOT_enum"]):
-            return False
+            return _fail
         if "const" in s and not _deep_eq(v, s["const"]):
-            return False
+            return _fail
         if "NOT_const" in s and _deep_eq(v, s["NOT_const"]):
-            return False
+            return _fail
 
         # ---- number keywords (vacuous on non-numbers) ----
         if json_type(v) == "number":
             fv = float(v)
             if "minimum" in s and fv < float(s["minimum"]):
-                return False
+                return _fail
             if "maximum" in s and fv > float(s["maximum"]):
-                return False
+                return _fail
             if "exclusiveMinimum" in s and fv <= float(s["exclusiveMinimum"]):
-                return False
+                return _fail
             if "exclusiveMaximum" in s and fv >= float(s["exclusiveMaximum"]):
-                return False
+                return _fail
             if "multipleOf" in s and not _multiple_of(v, s["multipleOf"]):
-                return False
+                return _fail
             if "NOT_multipleOf" in s and _multiple_of(v, s["NOT_multipleOf"]):
-                return False
+                return _fail
 
         # ---- string keywords ----
         if isinstance(v, str):
             if "minLength" in s and len(v) < s["minLength"]:
-                return False
+                return _fail
             if "maxLength" in s and len(v) > s["maxLength"]:
-                return False
+                return _fail
             if "pattern" in s and not _pattern_ok(s["pattern"], v):
-                return False
+                return _fail
             if "format" in s:
                 rx = format_regex(s["format"])
                 if rx is not None and not _search(rx, v):
-                    return False
+                    return _fail
+            # ---- content keywords (dialect choice: asserted) ----
+            # draft 2020-12 makes contentEncoding/MediaType/Schema
+            # annotation-only and the reference merely parses them
+            # (fences/json_schema/parse.py:304-306); a *validator* that
+            # ignores them is useless, so this dialect asserts them
+            # (SURVEY.md §2.A: unbase64 round-trip predicate).  Fixtures
+            # using them are DIALECT_ONLY vs the jsonschema oracle.
+            if ("contentEncoding" in s or "contentMediaType" in s
+                    or "contentSchema" in s):
+                if not self._content_ok(v, s, dep):
+                    return _fail
 
         # ---- array keywords ----
         if isinstance(v, (list, tuple)):
             n = len(v)
             if "minItems" in s and n < s["minItems"]:
-                return False
+                return _fail
             if "maxItems" in s and n > s["maxItems"]:
-                return False
+                return _fail
             if s.get("uniqueItems"):
                 for i in range(n):
                     for j in range(i + 1, n):
                         if _deep_eq(v[i], v[j]):
-                            return False
+                            return _fail
             if s.get("NOT_uniqueItems"):
                 # normalizer-internal: at least one duplicate pair
                 if not any(
                     _deep_eq(v[i], v[j]) for i in range(n) for j in range(i + 1, n)
                 ):
-                    return False
+                    return _fail
             prefix = s.get("prefixItems", [])
             for i, sub in enumerate(prefix):
-                if i < n and not self.validate(v[i], sub, dep):
-                    return False
+                if i < n:
+                    if not self.validate(v[i], sub, dep):
+                        return _fail
+                    ev_items.add(i)
             if "items" in s:
-                for item in v[len(prefix):]:
-                    if not self.validate(item, s["items"], dep):
-                        return False
+                for i in range(len(prefix), n):
+                    if not self.validate(v[i], s["items"], dep):
+                        return _fail
+                    ev_items.add(i)
             if "contains" in s:
-                hits = sum(1 for item in v if self.validate(item, s["contains"], dep))
-                if hits < s.get("minContains", 1):
-                    return False
-                if "maxContains" in s and hits > s["maxContains"]:
-                    return False
+                hit_idx = [i for i in range(n) if self.validate(v[i], s["contains"], dep)]
+                if len(hit_idx) < s.get("minContains", 1):
+                    return _fail
+                if "maxContains" in s and len(hit_idx) > s["maxContains"]:
+                    return _fail
+                # contains marks its matched items evaluated (2020-12)
+                ev_items.update(hit_idx)
 
         # ---- object keywords ----
         if isinstance(v, dict):
             for k in s.get("required", []):
                 if k not in v:
-                    return False
+                    return _fail
             for k in s.get("NOT_required", []):
                 # normalizer-internal: listed keys must be absent
                 if k in v:
-                    return False
+                    return _fail
             if "minProperties" in s and len(v) < s["minProperties"]:
-                return False
+                return _fail
             if "maxProperties" in s and len(v) > s["maxProperties"]:
-                return False
+                return _fail
             props = s.get("properties", {})
             for k, sub in props.items():
-                if k in v and not self.validate(v[k], sub, dep):
-                    return False
+                if k in v:
+                    if not self.validate(v[k], sub, dep):
+                        return _fail
+                    ev_props.add(k)
             pat_props = s.get("patternProperties", {})
             for pat, sub in pat_props.items():
                 for k in v:
-                    if _search(pat, k) and not self.validate(v[k], sub, dep):
-                        return False
+                    if _search(pat, k):
+                        if not self.validate(v[k], sub, dep):
+                            return _fail
+                        ev_props.add(k)
             if "additionalProperties" in s:
                 ap = s["additionalProperties"]
                 for k in v:
@@ -343,39 +400,127 @@ class Evaluator:
                     if any(_search(pat, k) for pat in pat_props):
                         continue
                     if not self.validate(v[k], ap, dep):
-                        return False
+                        return _fail
+                    ev_props.add(k)
             if "propertyNames" in s:
+                # applies to the *names*, not the members: evaluates
+                # no properties (spec annotation model)
                 for k in v:
                     if not self.validate(k, s["propertyNames"], dep):
-                        return False
+                        return _fail
             for trigger, needed in s.get("dependentRequired", {}).items():
                 if trigger in v and any(k not in v for k in needed):
-                    return False
+                    return _fail
             for trigger, sub in s.get("dependentSchemas", {}).items():
-                if trigger in v and not self.validate(v, sub, dep):
-                    return False
+                if trigger in v:
+                    ok, p, i = self._validate(v, sub, dep)
+                    if not ok:
+                        return _fail
+                    ev_props |= p
+                    ev_items |= i
 
-        # ---- logic ----
-        if "allOf" in s and not all(self.validate(v, sub, dep) for sub in s["allOf"]):
-            return False
-        if "anyOf" in s and not any(self.validate(v, sub, dep) for sub in s["anyOf"]):
-            return False
+        # ---- logic (in-place applicators: merge their annotations) --
+        if "allOf" in s:
+            for sub in s["allOf"]:
+                ok, p, i = self._validate(v, sub, dep)
+                if not ok:
+                    return _fail
+                ev_props |= p
+                ev_items |= i
+        if "anyOf" in s:
+            # every succeeding branch contributes annotations, so no
+            # short-circuit (a second matching branch can mark more
+            # properties evaluated — spec §11 / jsonschema behavior)
+            hit = False
+            for sub in s["anyOf"]:
+                ok, p, i = self._validate(v, sub, dep)
+                if ok:
+                    hit = True
+                    ev_props |= p
+                    ev_items |= i
+            if not hit:
+                return _fail
         if "oneOf" in s:
             # count-of-true == 1 (the reference expands this
             # quadratically for generation, normalize.py:469-481; for
             # evaluation counting is enough)
-            if sum(1 for sub in s["oneOf"] if self.validate(v, sub, dep)) != 1:
-                return False
+            wins = [self._validate(v, sub, dep) for sub in s["oneOf"]]
+            if sum(1 for ok, _, _ in wins if ok) != 1:
+                return _fail
+            for ok, p, i in wins:
+                if ok:
+                    ev_props |= p
+                    ev_items |= i
         if "not" in s and self.validate(v, s["not"], dep):
-            return False
+            return _fail
         if "if" in s:
-            if self.validate(v, s["if"], dep):
-                if "then" in s and not self.validate(v, s["then"], dep):
-                    return False
+            if_ok, if_p, if_i = self._validate(v, s["if"], dep)
+            if if_ok:
+                ev_props |= if_p
+                ev_items |= if_i
+                if "then" in s:
+                    ok, p, i = self._validate(v, s["then"], dep)
+                    if not ok:
+                        return _fail
+                    ev_props |= p
+                    ev_items |= i
             else:
-                if "else" in s and not self.validate(v, s["else"], dep):
-                    return False
+                if "else" in s:
+                    ok, p, i = self._validate(v, s["else"], dep)
+                    if not ok:
+                        return _fail
+                    ev_props |= p
+                    ev_items |= i
 
+        # ---- unevaluated* (run last: see every annotation above) ----
+        if "unevaluatedProperties" in s and isinstance(v, dict):
+            up = s["unevaluatedProperties"]
+            for k in v:
+                if k not in ev_props:
+                    if not self.validate(v[k], up, dep):
+                        return _fail
+                    ev_props.add(k)
+        if "unevaluatedItems" in s and isinstance(v, (list, tuple)):
+            ui = s["unevaluatedItems"]
+            for i in range(len(v)):
+                if i not in ev_items:
+                    if not self.validate(v[i], ui, dep):
+                        return _fail
+                    ev_items.add(i)
+
+        return True, ev_props, ev_items
+
+    def _content_ok(self, v: str, s: dict, dep: int) -> bool:
+        """contentEncoding base64 → strict RFC-4648 decode;
+        contentMediaType application/json → the (decoded) text parses;
+        contentSchema → the parsed document validates.  Unknown
+        encodings/media types assert nothing (annotation default)."""
+        text = v
+        if s.get("contentEncoding") == "base64":
+            try:
+                raw = base64.b64decode(v, validate=True)
+            except (binascii.Error, ValueError):
+                return False
+            if base64.b64encode(raw).decode("ascii") != v:
+                return False  # non-canonical padding/length
+            try:
+                text = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                # valid base64 of non-text payload: only fails if a
+                # text-media-type / contentSchema check needs the text
+                return not (
+                    s.get("contentMediaType") == "application/json"
+                    or "contentSchema" in s
+                )
+        if s.get("contentMediaType") == "application/json" or (
+            "contentSchema" in s and s.get("contentMediaType") in (None, "application/json")
+        ):
+            try:
+                doc = json.loads(text)
+            except (ValueError, TypeError):
+                return False
+            if "contentSchema" in s:
+                return self.validate(doc, s["contentSchema"], dep)
         return True
 
 

@@ -242,8 +242,36 @@ def _string_candidates(s: dict) -> list[Any]:
     if "format" in s and s["format"] in FORMAT_SAMPLES:
         good, bad = FORMAT_SAMPLES[s["format"]]
         out += [good, bad]
+    if "contentEncoding" in s or "contentMediaType" in s or "contentSchema" in s:
+        out += _content_candidates(s)
     if not out:
         out = ["sample-string", ""]
+    return out
+
+
+def _content_candidates(s: dict) -> list[str]:
+    """Boundary strings for the content* assertions: decodable /
+    non-decodable base64, JSON / non-JSON payloads, and (when a
+    contentSchema is present) payloads built from its own boundary
+    candidates — labels come from the evaluator as always."""
+    import base64 as _b64
+    import json as _json
+
+    payloads: list[str] = ['{"k": 1}', "not json", ""]
+    if "contentSchema" in s and isinstance(s["contentSchema"], (dict, bool)):
+        sub = s["contentSchema"]
+        ev = Evaluator(sub)
+        for cand in generate_candidates(sub, ev)[:8]:
+            try:
+                payloads.append(_json.dumps(cand))
+            except (TypeError, ValueError):
+                continue
+    out: list[str] = []
+    if s.get("contentEncoding") == "base64":
+        out += [_b64.b64encode(p.encode("utf-8")).decode("ascii") for p in payloads]
+        out += ["!!!not-base64!!!", "aGVsbG8", _b64.b64encode(b"\xff\xfe").decode("ascii")]
+    else:
+        out += payloads
     return out
 
 
@@ -314,6 +342,21 @@ def _array_candidates(s: dict, ev: Evaluator, depth: int) -> list[Any]:
     if s.get("uniqueItems") or s.get("NOT_uniqueItems"):
         g = good_elems[0]
         out += [[g, g], [g]]
+    if "unevaluatedItems" in s:
+        # fences at the unevaluated boundary: the prefix alone, and
+        # the prefix plus one extra item drawn from the
+        # unevaluatedItems schema's own candidates (labels from the
+        # evaluator, which tracks evaluated-item annotations)
+        base = []
+        for sub in s.get("prefixItems", []):
+            goods = [c for c in generate_candidates(sub, ev, depth + 1)
+                     if ev.validate(c, sub)]
+            base.append(goods[0] if goods else 1)
+        ui = s["unevaluatedItems"]
+        pool = generate_candidates(ui if isinstance(ui, (dict, bool)) else True, ev, depth + 1)
+        out.append(list(base))
+        for e in (pool[:4] or ["zz"]):
+            out.append(base + [e])
     return out
 
 
@@ -338,13 +381,21 @@ def _object_candidates(s: dict, ev: Evaluator, depth: int) -> list[Any]:
         d = dict(good)
         d[k] = bad
         out.append(d)
-    if "additionalProperties" in s or "maxProperties" in s or "patternProperties" in s:
+    if ("additionalProperties" in s or "maxProperties" in s
+            or "patternProperties" in s or "unevaluatedProperties" in s):
         d = dict(good)
         d["zz_extra_key"] = "extra"
         out.append(d)
         d2 = dict(good)
         d2["zz_extra_key"] = 123456
         out.append(d2)
+    if "unevaluatedProperties" in s:
+        # extra keys drawn from the unevaluatedProperties schema's own
+        # candidate fences (evaluator labels them via annotations)
+        up = s["unevaluatedProperties"]
+        pool = generate_candidates(up if isinstance(up, (dict, bool)) else True, ev, depth + 1)
+        for c in pool[:4]:
+            out.append({**good, "zz_uneval": c})
     if "minProperties" in s:
         n = int(s["minProperties"])
         pool = {f"k{i}": i for i in range(n + 1)}
@@ -442,15 +493,20 @@ def generate_candidates(schema: SchemaType, ev: Evaluator | None = None, depth: 
         k in s for k in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum", "multipleOf", "NOT_multipleOf")
     ):
         out += _number_candidates(s)
-    if ts is None or "string" in ts or any(k in s for k in ("minLength", "maxLength", "pattern", "format")):
+    if ts is None or "string" in ts or any(
+        k in s for k in ("minLength", "maxLength", "pattern", "format",
+                         "contentEncoding", "contentMediaType", "contentSchema")
+    ):
         out += _string_candidates(s)
     if ts is None or "array" in ts or any(
-        k in s for k in ("items", "prefixItems", "contains", "minItems", "maxItems", "uniqueItems")
+        k in s for k in ("items", "prefixItems", "contains", "minItems", "maxItems",
+                         "uniqueItems", "unevaluatedItems")
     ):
         out += _array_candidates(s, ev, depth)
     if ts is None or "object" in ts or any(
         k in s for k in ("properties", "required", "additionalProperties", "minProperties",
-                         "maxProperties", "dependentRequired", "patternProperties", "propertyNames")
+                         "maxProperties", "dependentRequired", "patternProperties",
+                         "propertyNames", "dependentSchemas", "unevaluatedProperties")
     ):
         out += _object_candidates(s, ev, depth)
     if ts and "boolean" in ts:

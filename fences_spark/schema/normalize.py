@@ -427,6 +427,34 @@ def merge_options(a: dict, b: dict) -> dict:
 # normalize: schema → DNF
 # ---------------------------------------------------------------------------
 
+# Keywords whose semantics DNF restructuring cannot preserve:
+# unevaluated* reads the annotation set of its *own* schema object
+# (merging sibling allOf branches into it would grow that set), and
+# content* has no sound conjunction merger.  The reference parses but
+# never generates these (fences/json_schema/parse.py:244-250,304-306);
+# our evaluator asserts them, so the normalizer must leave any schema
+# containing them intact.
+OPAQUE_KEYWORDS = frozenset(
+    {
+        "unevaluatedProperties",
+        "unevaluatedItems",
+        "contentEncoding",
+        "contentMediaType",
+        "contentSchema",
+    }
+)
+
+
+def contains_opaque(s: Any) -> bool:
+    """True if the schema tree uses any normalization-opaque keyword."""
+    if isinstance(s, dict):
+        if OPAQUE_KEYWORDS & s.keys():
+            return True
+        return any(contains_opaque(v) for v in s.values())
+    if isinstance(s, list):
+        return any(contains_opaque(x) for x in s)
+    return False
+
 
 class Normalizer:
     def __init__(self, root: SchemaType):
@@ -442,6 +470,19 @@ class Normalizer:
         return Evaluator(self.root)._resolve_ref(ref)
 
     def normalize(self) -> dict:
+        if contains_opaque(self.root):
+            # DNF restructuring is not annotation-safe: folding an
+            # allOf branch's `properties` into a sibling changes which
+            # keys count as *evaluated* for unevaluatedProperties/
+            # Items, and content* conjuncts have no sound merger.
+            # Normalization is an optimization, not a requirement — a
+            # schema using these keywords passes through as ONE opaque
+            # option (the Arrow-evaluator tier handles it unchanged;
+            # verdict equivalence holds trivially).
+            body: dict[str, Any] = {"anyOf": [self.root]}
+            if isinstance(self.root, dict) and isinstance(self.root.get("$defs"), dict):
+                body["$defs"] = self.root["$defs"]
+            return body
         body = self._norm(self.root)
         # carry the ORIGINAL $defs too: nested refs inside property/
         # item sub-schemas are left in place (they are normalized

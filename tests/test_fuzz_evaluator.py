@@ -15,10 +15,9 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from fences_spark.fixtures import ORACLE_SPECS
+from fences_spark.fixtures import DIALECT_ONLY, ORACLE_SPECS
 from fences_spark.schema.evaluator import Evaluator
 
-DIALECT_ONLY = {"str_pattern_merged", "str_format_datetime"}
 
 FORMAT_CHECKER = jsonschema.Draft202012Validator.FORMAT_CHECKER
 

@@ -22,12 +22,11 @@ import jsonschema
 from pyspark.sql import functions as F
 
 from fences_spark.compiler.jsonvalue import compile_json
-from fences_spark.fixtures import ORACLE_SPECS
+from fences_spark.fixtures import DIALECT_ONLY, ORACLE_SPECS
 
-# fences-dialect-only constructs jsonschema can't arbitrate (same
-# exclusions as the evaluator fuzz): the `(a)&(b)` pattern extension
-# and the nonstandard `datetime` format name.
-DIALECT_ONLY = {"str_pattern_merged", "str_format_datetime"}
+# DIALECT_ONLY (fixtures.py): constructs jsonschema can't arbitrate —
+# the `(a)&(b)` pattern extension, the nonstandard `datetime` format
+# name, and the asserted content* keywords.
 
 FORMAT_CHECKER = jsonschema.Draft202012Validator.FORMAT_CHECKER
 

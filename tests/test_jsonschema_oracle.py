@@ -31,11 +31,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from fences_spark.compiler.jsonvalue import compile_json
-from fences_spark.fixtures import ORACLE_SPECS
+from fences_spark.fixtures import DIALECT_ONLY, ORACLE_SPECS
 from fences_spark.schema.generate import generate_samples
 from fences_spark.schema.normalize import normalize
 
-DIALECT_ONLY = {"str_pattern_merged", "str_format_datetime"}
 
 FORMAT_CHECKER = jsonschema.Draft202012Validator.FORMAT_CHECKER
 

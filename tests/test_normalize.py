@@ -16,6 +16,7 @@ from fences_spark.schema.normalize import (
     NORM_FALSE,
     NormalizeError,
     check_normalized,
+    contains_opaque,
     merge_options,
     normalize,
 )
@@ -38,6 +39,11 @@ def test_equivalence_on_boundary_candidates(name):
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SPECS))
 def test_structural_invariants(name):
+    if contains_opaque(ORACLE_SPECS[name]):
+        # unevaluated*/content* schemas pass through normalization as
+        # one opaque option (DNF restructuring is not annotation-safe)
+        # — structural flatness intentionally does not apply
+        pytest.skip("opaque schema: normalizer passes it through intact")
     try:
         norm = normalize(ORACLE_SPECS[name])
     except NormalizeError:
