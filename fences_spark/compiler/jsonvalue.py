@@ -21,12 +21,14 @@ from __future__ import annotations
 import functools
 import json
 import operator
+import re
 from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import Column, functions as F
 
 from fences_spark.compiler import CompileError
+from fences_spark.compiler.typed import _require_portable_regex
 from fences_spark.schema.evaluator import Evaluator, SchemaType, format_regex
 from fences_spark.schema.regex_dialect import compile_dialect_pattern, to_java_regex
 
@@ -74,9 +76,14 @@ _SUPPORTED_VARIANT_KEYWORDS = frozenset(
         "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
         "multipleOf", "NOT_multipleOf",
         "minLength", "maxLength", "pattern", "format",
-        "minItems", "maxItems",
-        "required", "properties", "minProperties", "maxProperties",
+        "minItems", "maxItems", "items", "prefixItems",
+        "contains", "minContains", "maxContains",
+        "required", "NOT_required", "properties",
+        "minProperties", "maxProperties",
+        "patternProperties", "propertyNames", "additionalProperties",
+        "dependentRequired", "dependentSchemas",
         "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+        "$ref",
     }
 ) | frozenset(
     {
@@ -84,6 +91,12 @@ _SUPPORTED_VARIANT_KEYWORDS = frozenset(
         "examples", "default", "$schema", "$id",
     }
 )
+
+# identifier keys use direct variant path extraction ($.k); anything
+# else goes through the map<string,variant> cast (no path escaping)
+_SIMPLE_KEY = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+_MAX_REF_DEPTH = 12
 
 
 def _tv(v: Column) -> Column:
@@ -132,20 +145,29 @@ class VariantCompiler:
         self.evaluator = Evaluator(root)
 
     def compile(self, v: Column) -> Column:
-        return self._compile(self.root, v)
+        return self._compile(self.root, v, 0)
 
-    def _compile(self, s: SchemaType, v: Column) -> Column:
+    def _compile(self, s: SchemaType, v: Column, depth: int = 0) -> Column:
         if s is True:
             return F.lit(True)
         if s is False:
             return F.lit(False)
         unsupported = set(s) - _SUPPORTED_VARIANT_KEYWORDS
-        if unsupported == {"$defs"} and s is self.root:
-            unsupported = set()  # defs unused unless a $ref occurs (unsupported anyway)
+        if s is self.root:
+            unsupported.discard("$defs")  # ref targets, resolved at compile time
         if unsupported:
             raise CompileError(f"variant tier cannot express: {sorted(unsupported)}")
 
         preds: list[Column] = []
+
+        if "$ref" in s:
+            # compile-time inline with bounded unroll, exactly the
+            # typed tier's strategy (typed.py _MAX_REF_DEPTH); schemas
+            # recursing past the bound fall back to the Arrow tier
+            if depth > _MAX_REF_DEPTH:
+                raise CompileError(f"$ref deeper than {_MAX_REF_DEPTH}: {s['$ref']}")
+            target = self.evaluator._resolve_ref(s["$ref"])
+            preds.append(self._compile(target, v, depth + 1))
         t = _tv(v)
         is_str = t == F.lit("STRING")
         is_num = _is_number(v)
@@ -219,38 +241,125 @@ class VariantCompiler:
             preds.append(arr_gate(F.size(arr) >= F.lit(int(s["minItems"]))))
         if "maxItems" in s:
             preds.append(arr_gate(F.size(arr) <= F.lit(int(s["maxItems"]))))
+        prefix = s.get("prefixItems", [])
+        for i, sub in enumerate(prefix):
+            elem = F.element_at(arr, i + 1)
+            preds.append(
+                arr_gate(
+                    F.when(F.size(arr) > i, self._compile(sub, elem, depth)).otherwise(F.lit(True))
+                )
+            )
+        if "items" in s:
+            items_s = s["items"]
+            tail = (
+                F.slice(arr, len(prefix) + 1, F.greatest(F.size(arr) - len(prefix), F.lit(0)))
+                if prefix
+                else arr
+            )
+            preds.append(arr_gate(F.forall(tail, lambda x: self._compile(items_s, x, depth))))
+        if "contains" in s:
+            c_s = s["contains"]
+            hits = F.size(F.filter(arr, lambda x: self._compile(c_s, x, depth)))
+            preds.append(arr_gate(hits >= F.lit(int(s.get("minContains", 1)))))
+            if "maxContains" in s:
+                preds.append(arr_gate(hits <= F.lit(int(s["maxContains"]))))
 
         is_obj = t.startswith("OBJECT") | t.startswith("STRUCT")
 
         def obj_gate(p: Column) -> Column:
             return F.when(is_obj, p).otherwise(F.lit(True))
 
+        # identifier keys extract directly ($.k — no map materialization);
+        # the map<string,variant> cast serves key-set keywords and
+        # non-identifier key names
+        m = F.try_variant_get(v, "$", "map<string,variant>")
+
+        def member(k: str) -> Column:
+            if _SIMPLE_KEY.match(k):
+                return F.try_variant_get(v, f"$.{k}", "variant")
+            return F.element_at(m, k)
+
         for k in s.get("required", []):
-            preds.append(obj_gate(F.try_variant_get(v, f"$.{k}", "variant").isNotNull()))
-        for k, sub in s.get("properties", {}).items():
-            child = F.try_variant_get(v, f"$.{k}", "variant")
+            preds.append(obj_gate(member(k).isNotNull()))
+        for k in s.get("NOT_required", []):
+            # normalizer-internal: listed keys must be absent
+            preds.append(obj_gate(member(k).isNull()))
+        props = s.get("properties", {})
+        for k, sub in props.items():
+            child = member(k)
             preds.append(
-                obj_gate(F.when(child.isNull(), F.lit(True)).otherwise(self._compile(sub, child)))
+                obj_gate(
+                    F.when(child.isNull(), F.lit(True)).otherwise(self._compile(sub, child, depth))
+                )
             )
-        if "minProperties" in s or "maxProperties" in s:
-            raise CompileError("min/maxProperties need the UDF tier (no variant key count)")
+        if "minProperties" in s:
+            preds.append(obj_gate(F.size(m) >= F.lit(int(s["minProperties"]))))
+        if "maxProperties" in s:
+            preds.append(obj_gate(F.size(m) <= F.lit(int(s["maxProperties"]))))
+        pat_props = s.get("patternProperties", {})
+        for pat in pat_props:
+            _require_portable_regex(pat)
+        for pat, sub in pat_props.items():
+            jpat = to_java_regex(pat)
+            sub_s = sub
+            matching = F.map_filter(m, lambda k, _: k.rlike(jpat))
+            preds.append(
+                obj_gate(
+                    F.forall(F.map_values(matching), lambda x: self._compile(sub_s, x, depth))
+                )
+            )
+        if "additionalProperties" in s:
+            ap = s["additionalProperties"]
+            listed = F.array(*[F.lit(k) for k in props]) if props else None
+            ap_pats = [to_java_regex(p) for p in pat_props]
+
+            def _is_other(k: Column) -> Column:
+                other = ~F.array_contains(listed, k) if listed is not None else F.lit(True)
+                for jp in ap_pats:
+                    other = other & ~k.rlike(jp)
+                return other
+
+            others = F.map_filter(m, lambda k, _: _is_other(k))
+            preds.append(
+                obj_gate(F.forall(F.map_values(others), lambda x: self._compile(ap, x, depth)))
+            )
+        if "propertyNames" in s:
+            pn = s["propertyNames"]
+            preds.append(
+                obj_gate(F.forall(F.map_keys(m), lambda k: self._compile_on_string(pn, k)))
+            )
+        for trigger, needed in s.get("dependentRequired", {}).items():
+            present = functools.reduce(
+                operator.and_, [member(k).isNotNull() for k in needed], F.lit(True)
+            )
+            preds.append(
+                obj_gate(F.when(member(trigger).isNotNull(), present).otherwise(F.lit(True)))
+            )
+        for trigger, sub in s.get("dependentSchemas", {}).items():
+            preds.append(
+                obj_gate(
+                    F.when(
+                        member(trigger).isNotNull(), self._compile(sub, v, depth)
+                    ).otherwise(F.lit(True))
+                )
+            )
 
         if "allOf" in s:
-            preds.extend(self._compile(sub, v) for sub in s["allOf"])
+            preds.extend(self._compile(sub, v, depth) for sub in s["allOf"])
         if "anyOf" in s:
-            opts = [self._compile(sub, v) for sub in s["anyOf"]]
+            opts = [self._compile(sub, v, depth) for sub in s["anyOf"]]
             preds.append(functools.reduce(operator.or_, opts) if opts else F.lit(False))
         if "oneOf" in s:
-            counts = [self._compile(sub, v).cast("int") for sub in s["oneOf"]]
+            counts = [self._compile(sub, v, depth).cast("int") for sub in s["oneOf"]]
             preds.append(
                 functools.reduce(operator.add, counts) == F.lit(1) if counts else F.lit(False)
             )
         if "not" in s:
-            preds.append(~self._compile(s["not"], v))
+            preds.append(~self._compile(s["not"], v, depth))
         if "if" in s:
-            if_p = self._compile(s["if"], v)
-            then_p = self._compile(s["then"], v) if "then" in s else F.lit(True)
-            else_p = self._compile(s["else"], v) if "else" in s else F.lit(True)
+            if_p = self._compile(s["if"], v, depth)
+            then_p = self._compile(s["then"], v, depth) if "then" in s else F.lit(True)
+            else_p = self._compile(s["else"], v, depth) if "else" in s else F.lit(True)
             preds.append(F.when(if_p, then_p).otherwise(else_p))
 
         if not preds:
@@ -282,6 +391,53 @@ class VariantCompiler:
             else:
                 raise CompileError("composite enum literal needs the UDF tier")
         return functools.reduce(operator.or_, opts) if opts else F.lit(False)
+
+    _STRING_KEY_KEYWORDS = frozenset(
+        {
+            "type", "minLength", "maxLength", "pattern", "format",
+            "enum", "const",
+            "description", "title", "$comment", "deprecated",
+            "example", "examples", "default",
+        }
+    )
+
+    def _compile_on_string(self, s: SchemaType, k: Column) -> Column:
+        """A ``propertyNames`` sub-schema applied to a map KEY — always
+        a plain string column, so only string-applicable keywords are
+        meaningful; anything else falls back to the Arrow tier."""
+        if s is True:
+            return F.lit(True)
+        if s is False:
+            return F.lit(False)
+        unsupported = set(s) - self._STRING_KEY_KEYWORDS
+        if unsupported:
+            raise CompileError(f"propertyNames sub-schema too rich: {sorted(unsupported)}")
+        preds: list[Column] = []
+        if "type" in s:
+            ts = s["type"]
+            ts = [ts] if isinstance(ts, str) else list(ts)
+            if "string" not in ts:
+                return F.lit(False)  # no key can be a non-string
+        if "minLength" in s:
+            preds.append(F.length(k) >= F.lit(int(s["minLength"])))
+        if "maxLength" in s:
+            preds.append(F.length(k) <= F.lit(int(s["maxLength"])))
+        if "pattern" in s:
+            for rx, negated in compile_dialect_pattern(s["pattern"]):
+                p = k.rlike(to_java_regex(rx))
+                preds.append(~p if negated else p)
+        if "format" in s:
+            rx = format_regex(s["format"])
+            if rx is not None:
+                preds.append(k.rlike(to_java_regex(rx)))
+        for kw in ("enum", "const"):
+            if kw in s:
+                members = s[kw] if kw == "enum" else [s[kw]]
+                strs = [e for e in members if isinstance(e, str)]
+                preds.append(k.isin(strs) if strs else F.lit(False))
+        if not preds:
+            return F.lit(True)
+        return functools.reduce(operator.and_, preds)
 
 
 def compile_json(schema: SchemaType, col: Column) -> tuple[Column, str]:

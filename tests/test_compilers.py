@@ -202,13 +202,20 @@ class TestJsonTiers:
         ({"oneOf": [{"type": "string"}, {"type": "number"}]}, "variant"),
         ({"not": {"type": "object"}}, "variant"),
         ({"if": {"type": "number"}, "then": {"minimum": 0}}, "variant"),
-        # UDF-tier schemas
-        ({"type": "array", "items": {"type": "number"}}, "arrow_udf"),
+        # widened variant tier: array/object applicators via
+        # array<variant> / map<string,variant> casts, bounded $ref
+        ({"type": "array", "items": {"type": "number"}}, "variant"),
+        ({"type": "object", "minProperties": 2}, "variant"),
+        ({"patternProperties": {"^a": {"type": "number"}}}, "variant"),
+        ({"dependentRequired": {"a": ["b"]}}, "variant"),
+        ({"type": "array", "prefixItems": [{"type": "number"}], "items": {"type": "string"}}, "variant"),
+        ({"type": "array", "contains": {"minimum": 3}, "minContains": 1, "maxContains": 2}, "variant"),
+        ({"propertyNames": {"maxLength": 1}}, "variant"),
+        ({"additionalProperties": {"type": "number"}, "properties": {"a": True}}, "variant"),
+        # UDF-tier residue: composite enum literals, uniqueItems
+        # (variant deep-equality), unbounded recursion
         ({"enum": [[1, 2]]}, "arrow_udf"),
-        ({"type": "object", "minProperties": 2}, "arrow_udf"),
-        ({"patternProperties": {"^a": {"type": "number"}}}, "arrow_udf"),
         ({"type": "array", "uniqueItems": True}, "arrow_udf"),
-        ({"dependentRequired": {"a": ["b"]}}, "arrow_udf"),
         ({"type": ["array", "number"], "items": {"$ref": "#"}}, "arrow_udf"),
     ])
     def test_json_parity(self, spark, schema, expect_tier):
