@@ -4,14 +4,20 @@
 
 Two tiers:
 
-1. **Builtin tier** — for schemas whose shape the VariantType algebra
-   can express (scalar keywords, flat objects/arrays), compile to
-   ``parse_json`` + ``schema_of_variant`` / ``try_variant_get``
-   expressions: JVM-side, codegen'd, no Python.
-2. **Arrow tier** — everything else runs the reference evaluator
-   (fences_spark.schema.evaluator) inside a *vectorized pandas UDF*:
-   one Python invocation per Arrow batch, never per row, per the
-   north-rule constraint (BASELINE.json:15 "no per-row Python").
+1. **Builtin tier** — compiles to ``try_parse_json`` +
+   ``schema_of_variant`` / ``try_variant_get`` Column algebra:
+   JVM-side, codegen'd, no Python.  Covers scalar keywords, nested
+   objects/arrays (``array<variant>`` / ``map<string,variant>`` casts
+   drive items/prefixItems/contains, patternProperties/propertyNames/
+   additionalProperties, dependent*), bounded-unroll local ``$ref``,
+   and the content* round-trip (``_content_pred``).
+2. **Arrow tier** — the residue (composite enum literals,
+   ``uniqueItems`` deep equality, ``unevaluated*`` annotation
+   tracking, recursion past the unroll bound) runs the reference
+   evaluator (fences_spark.schema.evaluator) inside a *vectorized
+   pandas UDF*: one Python invocation per Arrow batch, never per row,
+   per the north-rule constraint (BASELINE.json:15 "no per-row
+   Python").
 
 ``compile_json(schema, col)`` tries tier 1 and falls back to tier 2.
 """
@@ -82,6 +88,7 @@ _SUPPORTED_VARIANT_KEYWORDS = frozenset(
         "minProperties", "maxProperties",
         "patternProperties", "propertyNames", "additionalProperties",
         "dependentRequired", "dependentSchemas",
+        "contentEncoding", "contentMediaType", "contentSchema",
         "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
         "$ref",
     }
@@ -230,6 +237,8 @@ class VariantCompiler:
             rx = format_regex(s["format"])
             if rx is not None:
                 preds.append(str_gate(sval.rlike(to_java_regex(rx))))
+        if "contentEncoding" in s or "contentMediaType" in s or "contentSchema" in s:
+            preds.append(str_gate(self._content_pred(s, sval, depth)))
 
         is_arr = t.startswith("ARRAY")
 
@@ -391,6 +400,45 @@ class VariantCompiler:
             else:
                 raise CompileError("composite enum literal needs the UDF tier")
         return functools.reduce(operator.or_, opts) if opts else F.lit(False)
+
+    # canonical-length RFC-4648 base64 (no whitespace, exact padding);
+    # the re-encode round-trip below additionally pins the padding BITS
+    # to zero, matching the evaluator's b64encode(b64decode(v)) == v
+    _B64_CANONICAL = r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+
+    def _content_pred(self, s: dict, sval: Column, depth: int) -> Column:
+        """content* assertions on a string value, mirroring
+        ``Evaluator._content_ok`` exactly: contentEncoding base64 →
+        unbase64 round-trip (SURVEY.md §2.A); contentMediaType
+        application/json → try_parse_json non-null; contentSchema →
+        compiled sub-predicate over the parsed variant.  Unknown
+        encodings / media types assert nothing.  The rlike guard keeps
+        ANSI-mode unbase64 from throwing on malformed input."""
+        enc = s.get("contentEncoding")
+        mt = s.get("contentMediaType")
+        has_schema = "contentSchema" in s
+        json_needed = mt == "application/json" or (
+            has_schema and mt in (None, "application/json")
+        )
+
+        def json_check(txt: Column) -> Column:
+            if not json_needed:
+                return F.lit(True)
+            doc = F.try_parse_json(txt)
+            p = doc.isNotNull()
+            if has_schema:
+                p = p & self._compile(s["contentSchema"], doc, depth)
+            return p
+
+        if enc == "base64":
+            raw = F.unbase64(sval)
+            body = F.base64(raw) == sval
+            if json_needed:
+                body = body & F.when(
+                    F.is_valid_utf8(raw), json_check(raw.cast("string"))
+                ).otherwise(F.lit(False))
+            return F.when(sval.rlike(self._B64_CANONICAL), body).otherwise(F.lit(False))
+        return json_check(sval)
 
     _STRING_KEY_KEYWORDS = frozenset(
         {

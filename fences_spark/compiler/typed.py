@@ -190,6 +190,15 @@ class TypedCompiler:
                 rx = format_regex(s["format"])
                 if rx is not None:
                     preds.append(scol.rlike(to_java_regex(rx)))
+            if "contentEncoding" in s or "contentMediaType" in s or "contentSchema" in s:
+                # delegate to the variant compiler's content predicate
+                # (unbase64 round-trip + try_parse_json + compiled
+                # contentSchema over the parsed variant); lazy import —
+                # jsonvalue imports this module at load time
+                from fences_spark.compiler.jsonvalue import VariantCompiler
+
+                vc = VariantCompiler(self.root)
+                preds.append(vc._content_pred(s, scol, 0))
 
         # ---- array keywords ----
         if isinstance(dtype, T.ArrayType):
@@ -228,16 +237,11 @@ class TypedCompiler:
             )
             preds.append(F.when(if_p, then_p).otherwise(else_p))
 
-        # unsupported-on-typed keywords → UDF fallback (unevaluated*
-        # needs annotation tracking; content* needs base64/JSON decode
-        # of the payload — both live on the Arrow evaluator tier)
-        for k in (
-            "unevaluatedProperties",
-            "unevaluatedItems",
-            "contentEncoding",
-            "contentMediaType",
-            "contentSchema",
-        ):
+        # unsupported-on-typed keywords → UDF fallback (annotation
+        # tracking lives on the Arrow evaluator tier); content* is
+        # handled natively in the string branch above and is vacuous
+        # for every non-string dtype (evaluator semantics)
+        for k in ("unevaluatedProperties", "unevaluatedItems"):
             if k in s:
                 raise CompileError(f"keyword {k} not supported in typed compile")
 

@@ -36,6 +36,10 @@ from typing import Any, Union
 # shared empty-annotation sentinel: callers only read / union-copy it
 _EMPTY: set = frozenset()  # type: ignore[assignment]
 
+
+def _reject_json_constant(name: str) -> None:
+    raise ValueError(f"non-JSON constant: {name}")
+
 from fences_spark.schema.regex_dialect import compile_dialect_pattern
 
 SchemaType = Union[dict, bool]
@@ -516,7 +520,10 @@ class Evaluator:
             "contentSchema" in s and s.get("contentMediaType") in (None, "application/json")
         ):
             try:
-                doc = json.loads(text)
+                # strict JSON: NaN/Infinity are not JSON (python's
+                # json.loads accepts them by default; the JVM tier's
+                # try_parse_json rightly does not)
+                doc = json.loads(text, parse_constant=_reject_json_constant)
             except (ValueError, TypeError):
                 return False
             if "contentSchema" in s:

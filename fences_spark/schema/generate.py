@@ -270,8 +270,14 @@ def _content_candidates(s: dict) -> list[str]:
     if s.get("contentEncoding") == "base64":
         out += [_b64.b64encode(p.encode("utf-8")).decode("ascii") for p in payloads]
         out += ["!!!not-base64!!!", "aGVsbG8", _b64.b64encode(b"\xff\xfe").decode("ascii")]
+        # cross-tier parity traps: non-canonical padding bits ("aa=="
+        # decodes but re-encodes to "aQ=="), embedded whitespace, and
+        # base64 of a non-JSON-constant payload
+        out += ["aa==", "aGVs bG8=", "aGVsbG8=\n", _b64.b64encode(b"NaN").decode("ascii")]
     else:
         out += payloads
+        # python json.loads accepts NaN/Infinity; strict JSON must not
+        out += ["NaN", "Infinity", '{"k": NaN}', " {} ", "[1, 2,]"]
     return out
 
 
