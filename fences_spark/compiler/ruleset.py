@@ -55,9 +55,9 @@ class Rule:
         if self.mode == "json":
             return compile_json(self.schema, col)
         if self.mode == "xml":
-            from fences_spark.schema.xsd import compile_xml_udf
+            from fences_spark.schema.xsd import compile_xml
 
-            return compile_xml_udf(self.schema, col), "arrow_udf"
+            return compile_xml(self.schema, col)
         dtype = df.schema[self.column].dataType
         try:
             return TypedCompiler(self.schema).compile(col, dtype), "typed"

@@ -1110,10 +1110,10 @@ _ORDER_XSD = """
 
 def q_xsd_orders_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML cells synthesized from orders, validated against the XSD
-    subset (Arrow-vectorized shred + evaluator).  Two variants: the
-    faithful serialization (valid) and a negated-total mutation
-    (violates minExclusive)."""
-    from fences_spark.schema.xsd import compile_xml_udf, parse_xsd
+    subset on the JVM builtin tier (from_xml + lexical predicates —
+    no Python boundary).  Two variants: the faithful serialization
+    (valid) and a negated-total mutation (violates minExclusive)."""
+    from fences_spark.schema.xsd import compile_xml, parse_xsd
 
     schema = parse_xsd(_ORDER_XSD)["order"]
     orders = _t(spark, sf_dir, "orders")
@@ -1131,8 +1131,9 @@ def q_xsd_orders_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orders.select(F.lit("neg_total").alias("variant"),
                                    to_xml(-F.col("o_totalprice")).alias("x")))
     )
+    xml_pred, _tier = compile_xml(schema, F.col("x"))
     return (
-        variants.select("variant", compile_xml_udf(schema, F.col("x")).alias("ok"))
+        variants.select("variant", xml_pred.alias("ok"))
         .groupBy("variant")
         .agg(F.sum(F.col("ok").cast("long")).alias("n_valid"),
              F.count(F.lit(1)).alias("n_total"))

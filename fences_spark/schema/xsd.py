@@ -32,6 +32,8 @@ outside the Arrow batch loop (BASELINE.json:15).
 
 from __future__ import annotations
 
+import functools
+import operator
 import xml.etree.ElementTree as ET
 from typing import Any
 
@@ -41,7 +43,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fences_spark.schema.evaluator import Evaluator, SchemaType
+from fences_spark.compiler import CompileError
+from fences_spark.schema.evaluator import Evaluator, SchemaType, format_regex
+from fences_spark.schema.regex_dialect import compile_dialect_pattern, to_java_regex
 
 _XS = "{http://www.w3.org/2001/XMLSchema}"
 
@@ -384,6 +388,236 @@ def validate_xml(xml_text: str, schema: SchemaType) -> bool:
     except ET.ParseError:
         return False
     return Evaluator(schema).validate(xml_to_value(elem, schema))
+
+
+# ---------------------------------------------------------------------------
+# JVM builtin tier: ``from_xml`` + lexical predicates
+#
+# XSD validation is fundamentally *lexical* (an XML document is all
+# text; the schema defines lexical spaces), so the fast path parses the
+# document with Spark's native ``from_xml`` into an all-string struct
+# and compiles the dialect checks as Column algebra over it —
+# whole-stage codegen, no Python.  Faithfulness choices:
+#
+# - every element field is declared ``array<...>`` so duplicated
+#   children of a maxOccurs=1 element are *visible* (size == 1 check)
+#   instead of silently last-wins;
+# - ``ignoreSurroundingSpaces=false`` preserves string values exactly;
+#   numeric/boolean lexical checks apply ``trim`` themselves (the
+#   evaluator's ``text.strip()``);
+# - malformed documents surface via ``columnNameOfCorruptRecord``;
+# - integer/number lexical spaces are the XSD ones ([+-]?digits etc.),
+#   checked by regex before any cast.
+#
+# Documented relaxation: ``from_xml`` cannot see *undeclared*
+# attributes on simple-typed leaf elements (it drops them), so a
+# document abusing a scalar leaf with attributes passes here but fails
+# the Arrow tier; schemas needing that strictness use
+# ``compile_xml_udf``.  Everything else falls back automatically:
+# :func:`compile_xml` tries this tier and drops to the Arrow UDF on
+# ``CompileError``.
+# ---------------------------------------------------------------------------
+
+_INT_LEX = "^[+-]?[0-9]+$"
+_NUM_LEX = r"^[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?$"
+_CORRUPT = "_corrupt_record"
+_XML_OPTS = {
+    "attributePrefix": "@",
+    "valueTag": "#text",
+    "columnNameOfCorruptRecord": _CORRUPT,
+    "ignoreSurroundingSpaces": "false",
+}
+
+_LEAF_KEYWORDS = frozenset(
+    {
+        "type", "format", "pattern", "minLength", "maxLength",
+        "enum", "const", "minimum", "maximum",
+        "exclusiveMinimum", "exclusiveMaximum",
+    }
+)
+_OBJECT_KEYWORDS = frozenset({"type", "properties", "required", "oneOf"})
+_ARRAY_KEYWORDS = frozenset({"type", "items", "minItems", "maxItems"})
+
+
+def _is_object_schema(s: Any) -> bool:
+    return isinstance(s, dict) and s.get("type") == "object"
+
+
+def _is_array_schema(s: Any) -> bool:
+    return isinstance(s, dict) and s.get("type") == "array"
+
+
+def _xml_field_type(s: dict) -> T.DataType:
+    if _is_object_schema(s):
+        fields = []
+        for k, sub in s.get("properties", {}).items():
+            if k.startswith("@") or k == "#text":
+                fields.append(T.StructField(k, T.StringType()))
+            elif _is_array_schema(sub):
+                fields.append(T.StructField(k, T.ArrayType(_xml_field_type(sub.get("items", {})))))
+            else:
+                # array-wrapped scalar: duplicate children stay visible
+                fields.append(T.StructField(k, T.ArrayType(_xml_field_type(sub))))
+        return T.StructType(fields)
+    return T.StringType()
+
+
+def spark_xml_schema(schema: SchemaType) -> T.StructType:
+    """``from_xml`` schema for a dialect schema produced by
+    :func:`parse_xsd` (plus the corrupt-record sentinel).  A
+    simple-typed root element reads its text through the valueTag."""
+    if _is_object_schema(schema):
+        fields = list(_xml_field_type(schema).fields)
+    else:
+        fields = [T.StructField("#text", T.StringType())]
+    return T.StructType(fields + [T.StructField(_CORRUPT, T.StringType())])
+
+
+class XmlBuiltinCompiler:
+    """Dialect-schema → Column predicate over a ``from_xml`` struct."""
+
+    def compile(self, schema: SchemaType, col: Column) -> Column:
+        parsed = F.from_xml(F.coalesce(col, F.lit("")), spark_xml_schema(schema), _XML_OPTS)
+        if _is_object_schema(schema):
+            body = self._object_pred(schema, parsed)
+        else:
+            # simple-typed root: the evaluator shreds missing text to ''
+            body = self._leaf_pred(schema, F.coalesce(parsed.getField("#text"), F.lit("")))
+        return parsed.getField(_CORRUPT).isNull() & body
+
+    def _object_pred(self, s: dict, col: Column) -> Column:
+        unsupported = set(s) - _OBJECT_KEYWORDS
+        if unsupported:
+            raise CompileError(f"XML builtin tier cannot express: {sorted(unsupported)}")
+        preds: list[Column] = []
+        props = s.get("properties", {})
+        for k in s.get("required", []):
+            if k == "#text":
+                continue  # always present to the evaluator ('' when empty)
+            preds.append(col.getField(k).isNotNull())
+        for k, sub in props.items():
+            f = col.getField(k)
+            if k == "#text":
+                # the Arrow tier shreds a missing text node to '' —
+                # xml_to_value coerces elem.text None → ""
+                preds.append(self._leaf_pred(sub, F.coalesce(f, F.lit(""))))
+            elif k.startswith("@"):
+                preds.append(
+                    F.when(f.isNotNull(), self._leaf_pred(sub, f)).otherwise(F.lit(True))
+                )
+            elif _is_array_schema(sub):
+                bad = set(sub) - _ARRAY_KEYWORDS
+                if bad:
+                    raise CompileError(f"XML array schema too rich: {sorted(bad)}")
+                item = sub.get("items", {})
+                p = F.forall(f, lambda x: self._value_pred(item, x))
+                if "minItems" in sub:
+                    p = p & (F.size(f) >= F.lit(int(sub["minItems"])))
+                if "maxItems" in sub:
+                    p = p & (F.size(f) <= F.lit(int(sub["maxItems"])))
+                preds.append(F.when(f.isNotNull(), p).otherwise(F.lit(True)))
+            else:
+                # maxOccurs=1 element: exactly one child, then the
+                # value predicate (two children make the evaluator see
+                # a list, failing the scalar type check)
+                p = (F.size(f) == F.lit(1)) & self._value_pred(sub, F.element_at(f, 1))
+                preds.append(F.when(f.isNotNull(), p).otherwise(F.lit(True)))
+        for opt in s.get("oneOf", []):
+            # only the choice encoding {"required": [name]} is emitted
+            # by parse_xsd; anything richer falls back
+            if not (isinstance(opt, dict) and set(opt) == {"required"} and len(opt["required"]) == 1):
+                raise CompileError("XML builtin tier supports only choice-style oneOf")
+        if s.get("oneOf"):
+            count = functools.reduce(
+                operator.add,
+                [col.getField(o["required"][0]).isNotNull().cast("int") for o in s["oneOf"]],
+            )
+            preds.append(count == F.lit(1))
+        return functools.reduce(operator.and_, preds) if preds else F.lit(True)
+
+    def _value_pred(self, s: dict, c: Column) -> Column:
+        if _is_object_schema(s):
+            return self._object_pred(s, c)
+        return self._leaf_pred(s, c)
+
+    def _leaf_pred(self, s: dict, c: Column) -> Column:
+        if not isinstance(s, dict):
+            if s in (True, {}):
+                return F.lit(True)
+            raise CompileError(f"XML leaf schema must be a dict: {s!r}")
+        unsupported = set(s) - _LEAF_KEYWORDS
+        if unsupported:
+            raise CompileError(f"XML leaf keywords unsupported: {sorted(unsupported)}")
+        t = s.get("type")
+        preds: list[Column] = []
+        if t in ("integer", "number"):
+            tv = F.trim(c)
+            preds.append(tv.rlike(_INT_LEX if t == "integer" else _NUM_LEX))
+            # try_cast: ANSI cast would throw on lexical failures even
+            # though the rlike conjunct already rejects the row (AND
+            # does not short-circuit); FALSE & NULL stays FALSE
+            nv = tv.try_cast("double")
+            if "minimum" in s:
+                preds.append(nv >= F.lit(float(s["minimum"])))
+            if "maximum" in s:
+                preds.append(nv <= F.lit(float(s["maximum"])))
+            if "exclusiveMinimum" in s:
+                preds.append(nv > F.lit(float(s["exclusiveMinimum"])))
+            if "exclusiveMaximum" in s:
+                preds.append(nv < F.lit(float(s["exclusiveMaximum"])))
+            for kw in ("enum", "const"):
+                if kw in s:
+                    members = s[kw] if kw == "enum" else [s[kw]]
+                    nums = [float(e) for e in members if isinstance(e, (int, float))]
+                    preds.append(
+                        functools.reduce(operator.or_, [nv == F.lit(x) for x in nums])
+                        if nums
+                        else F.lit(False)
+                    )
+        elif t == "boolean":
+            tv = F.trim(c)
+            preds.append(tv.isin("true", "false", "1", "0"))
+            for kw in ("enum", "const"):
+                if kw in s:
+                    members = s[kw] if kw == "enum" else [s[kw]]
+                    lex: list[str] = []
+                    for e in members:
+                        if e is True:
+                            lex += ["true", "1"]
+                        elif e is False:
+                            lex += ["false", "0"]
+                    preds.append(tv.isin(lex) if lex else F.lit(False))
+        elif t == "string" or t is None:
+            if "minLength" in s:
+                preds.append(F.length(c) >= F.lit(int(s["minLength"])))
+            if "maxLength" in s:
+                preds.append(F.length(c) <= F.lit(int(s["maxLength"])))
+            if "pattern" in s:
+                for rx, negated in compile_dialect_pattern(s["pattern"]):
+                    p = c.rlike(to_java_regex(rx))
+                    preds.append(~p if negated else p)
+            if "format" in s:
+                rx = format_regex(s["format"])
+                if rx is not None:
+                    preds.append(c.rlike(to_java_regex(rx)))
+            for kw in ("enum", "const"):
+                if kw in s:
+                    members = s[kw] if kw == "enum" else [s[kw]]
+                    strs = [e for e in members if isinstance(e, str)]
+                    preds.append(c.isin(strs) if strs else F.lit(False))
+        else:
+            raise CompileError(f"XML leaf type unsupported: {t!r}")
+        return functools.reduce(operator.and_, preds) if preds else F.lit(True)
+
+
+def compile_xml(schema: SchemaType, col: Column) -> tuple[Column, str]:
+    """Compile an XSD-derived dialect schema against an XML-text
+    column.  Returns ``(predicate, tier)``, trying the JVM builtin
+    tier first and falling back to the Arrow evaluator UDF."""
+    try:
+        return XmlBuiltinCompiler().compile(schema, col), "xml_builtin"
+    except CompileError:
+        return compile_xml_udf(schema, col), "arrow_udf"
 
 
 def compile_xml_udf(schema: SchemaType, col: Column) -> Column:
