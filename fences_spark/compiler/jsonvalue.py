@@ -33,7 +33,7 @@ from typing import Any, Iterator
 import pandas as pd
 from pyspark.sql import Column, functions as F
 
-from fences_spark.compiler import CompileError
+from fences_spark.compiler import CompileError, lower_unevaluated
 from fences_spark.compiler.typed import _require_portable_regex
 from fences_spark.schema.evaluator import Evaluator, SchemaType, format_regex
 from fences_spark.schema.regex_dialect import compile_dialect_pattern, to_java_regex
@@ -495,6 +495,7 @@ def compile_json(schema: SchemaType, col: Column) -> tuple[Column, str]:
     A malformed JSON cell is invalid; a SQL-NULL cell is evaluated as
     JSON null (consistent with the typed compiler)."""
     try:
+        schema = lower_unevaluated(schema)
         v = F.try_parse_json(col)
         pred = VariantCompiler(schema).compile(v)
         null_verdict = Evaluator(schema).validate(None)

@@ -28,7 +28,7 @@ from typing import Any
 
 from pyspark.sql import Column, functions as F, types as T
 
-from fences_spark.compiler import CompileError
+from fences_spark.compiler import CompileError, lower_unevaluated
 from fences_spark.schema.evaluator import Evaluator, SchemaType, format_regex
 from fences_spark.schema.regex_dialect import compile_dialect_pattern, to_java_regex
 
@@ -101,8 +101,11 @@ class TypedCompiler:
     """Compiles ``root`` (and its ``$defs``) against typed columns."""
 
     def __init__(self, root: SchemaType, max_ref_depth: int = _MAX_REF_DEPTH):
-        self.root = root
-        self.evaluator = Evaluator(root)
+        # applicator-free unevaluated* lowers to additionalProperties/
+        # items at compile time; annotation-needing shapes raise here
+        # and callers fall back to the Arrow evaluator
+        self.root = lower_unevaluated(root)
+        self.evaluator = Evaluator(self.root)
         self.max_ref_depth = max_ref_depth
 
     # ------------------------------------------------------------------

@@ -176,6 +176,81 @@ def test_unknown_encoding_and_media_type_assert_nothing():
     assert validate("anything", {"type": "string", "contentMediaType": "text/html"}) is True
 
 
+# ---- compile-time lowering (unevaluated* → additionalProperties/items)
+
+
+def test_lowering_equivalences_vs_jsonschema():
+    """Applicator-free unevaluated* is exactly additionalProperties /
+    post-prefix items — the soundness claim behind lower_unevaluated."""
+    from fences_spark.compiler import lower_unevaluated
+
+    cases = [
+        {"properties": {"a": {"type": "number"}}, "unevaluatedProperties": False},
+        {"properties": {"n": {"type": "string"}},
+         "patternProperties": {"^s_": {"type": "string"}},
+         "unevaluatedProperties": {"type": "integer"}},
+        {"prefixItems": [{"type": "string"}], "unevaluatedItems": False},
+        {"prefixItems": [{"type": "number"}], "unevaluatedItems": {"type": "string"}},
+        {"properties": {"a": True}, "additionalProperties": {"type": "number"},
+         "unevaluatedProperties": False},
+        {"prefixItems": [{"type": "number"}], "items": {"type": "string"},
+         "unevaluatedItems": False},
+        {"required": ["a"], "propertyNames": {"maxLength": 3},
+         "unevaluatedProperties": {"type": "integer"}},
+        {"items": {"type": "object", "properties": {"v": True},
+                   "unevaluatedProperties": False}},
+    ]
+    values = [{}, {"a": 1}, {"a": "s"}, {"a": 1, "b": 2}, {"a": 1, "b": "x"},
+              {"s_k": "v"}, {"s_k": 1}, {"n": "x", "z": 3}, {"n": "x", "z": 3.5},
+              {"abc": 1}, {"abcd": 1}, [], ["a"], ["a", 1], [1], [1, "a"],
+              [1, 2], [1, "a", "b"], [{"v": 1}], [{"v": 1, "w": 2}],
+              "str", 5, None, True]
+    for s in cases:
+        low = lower_unevaluated(s)
+        assert "unevaluatedProperties" not in json.dumps(low)
+        jv = jsonschema.Draft202012Validator(s)
+        for v in values:
+            assert validate(v, low) == jv.is_valid(v), (s, low, v)
+
+
+def test_lowering_bails_on_inplace_applicators():
+    from fences_spark.compiler import CompileError, lower_unevaluated
+
+    for s in [
+        {"allOf": [{"properties": {"a": True}}], "unevaluatedProperties": False},
+        {"$ref": "#/x", "unevaluatedProperties": False},
+        {"if": {"required": ["a"]}, "unevaluatedProperties": False},
+        {"contains": {"type": "number"}, "unevaluatedItems": False},
+        {"dependentSchemas": {"t": True}, "unevaluatedProperties": False},
+    ]:
+        with pytest.raises(CompileError):
+            lower_unevaluated(s)
+    # literal-value keywords keep dict literals untouched
+    weird = {"const": {"unevaluatedProperties": 1}}
+    assert lower_unevaluated(weird) == weird
+
+
+def test_lowered_fixtures_route_to_builtin_tier(spark):
+    """The applicator-free unevaluated* fixtures compile JVM-side; the
+    annotation-needing ones stay on the Arrow evaluator."""
+    from pyspark.sql import functions as F
+
+    from fences_spark.compiler.jsonvalue import compile_json
+
+    expect = {
+        "uneval_props": "variant",
+        "uneval_props_schema": "variant",
+        "uneval_items": "variant",
+        "uneval_items_schema": "variant",
+        "uneval_props_allof": "arrow_udf",
+        "uneval_props_ite": "arrow_udf",
+        "uneval_items_contains": "arrow_udf",
+    }
+    for name, want in expect.items():
+        _, tier = compile_json(ORACLE_SPECS[name], F.col("cell"))
+        assert tier == want, (name, tier, want)
+
+
 # ---- normalizer opacity --------------------------------------------
 
 
