@@ -51,17 +51,24 @@ def cosine_topk(
 ) -> DataFrame:
     """(query_id, neighbor_id, cos, rank) — exact brute force.
     Deterministic tie-break on neighbor id."""
+    # norms are per-row, not per-pair: compute them once before the
+    # O(Q×N) join (same expression shape as cosine(), so the result is
+    # bit-identical — only the evaluation count changes)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     if broadcast_corpus:
         c = F.broadcast(c)
     scored = (
         q.join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -132,24 +139,30 @@ def ann_topk_lsh(
         return df.select(
             F.col(id_col).alias(out_id),
             v.alias("_v"),
+            # per-row norm before the explode/join: never per-pair
+            norm(v).alias("_n"),
             F.posexplode(buckets).alias("tbl", "bucket"),
         )
 
-    c = sketch(corpus, "neighbor_id").withColumnRenamed("_v", "cv")
-    q = sketch(queries, "query_id").withColumnRenamed("_v", "qv")
+    c = (sketch(corpus, "neighbor_id")
+         .withColumnRenamed("_v", "cv").withColumnRenamed("_n", "cn"))
+    q = (sketch(queries, "query_id")
+         .withColumnRenamed("_v", "qv").withColumnRenamed("_n", "qn"))
     if multiprobe:
         q = q.select(
-            "query_id", "qv", "tbl",
+            "query_id", "qv", "qn", "tbl",
             F.explode(_neighbor_buckets(F.col("bucket"), n_planes)).alias("bucket"),
         )
     cand = (
         q.join(c, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
         .distinct()
     )
     scored = cand.select(
-        "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos")
+        "query_id",
+        "neighbor_id",
+        F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -179,32 +192,34 @@ def embedding_near_dup_pairs(
     standard LSH trade-off, measured by tests against exact mode)."""
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
-    )
+    ).withColumn("na", norm(F.col("va")))
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
-    )
+    ).withColumn("nb", norm(F.col("vb")))
     if use_lsh_prefilter:
         if dim is None:
             raise ValueError("dim is required for the LSH prefilter")
 
-        def sketch(side: DataFrame, idc: str, vc: str) -> DataFrame:
+        def sketch(side: DataFrame, idc: str, vc: str, nc: str) -> DataFrame:
             buckets = F.array(*[
                 lsh_bucket(F.col(vc), dim, n_planes, f"{seed}:{t}") for t in range(n_tables)
             ])
-            return side.select(idc, vc, F.posexplode(buckets).alias("tbl", "bucket"))
+            return side.select(idc, vc, nc, F.posexplode(buckets).alias("tbl", "bucket"))
 
         cand = (
-            sketch(a, "id_a", "va")
-            .join(sketch(b, "id_b", "vb"), ["tbl", "bucket"])
+            sketch(a, "id_a", "va", "na")
+            .join(sketch(b, "id_b", "vb", "nb"), ["tbl", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
+            .select("id_a", "id_b", "va", "na", "vb", "nb")
             .distinct()
         )
     else:
         cand = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     return (
         cand.select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -274,18 +289,30 @@ def ivf_topk(
     cells and re-ranks candidates by exact cosine.  The join is an
     equi-join on cell id — shuffle keyed by cell; cell population is
     balanced by k-means, residual skew handled by AQE."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cell", _nearest_cells(F.col("cv"), centroids, 1)[0])
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("cell", F.explode(_nearest_cells(F.col("qv"), centroids, nprobe)))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn("cn", norm(F.col("cv")))
+        .withColumn("cell", _nearest_cells(F.col("cv"), centroids, 1)[0])
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("cell", F.explode(_nearest_cells(F.col("qv"), centroids, nprobe)))
+    )
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+        )
         .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
