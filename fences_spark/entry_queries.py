@@ -1159,6 +1159,108 @@ FROM v GROUP BY variant
 """
 
 
+def q_uneval_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unevaluatedProperties on JSON cells under the oracle gate:
+    three synthesized variants of events.props validated against a
+    closed-object rule — lowered at compile time to
+    additionalProperties (compiler.lower_unevaluated) and evaluated on
+    the pure-JVM variant tier."""
+    from fences_spark.compiler.jsonvalue import compile_json
+
+    rule = {
+        "type": "object",
+        "required": ["k"],
+        "properties": {"k": {"type": "integer", "minimum": 0}},
+        "unevaluatedProperties": False,
+    }
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    variants = (
+        ev.select(F.lit("plain").alias("variant"), F.col("props").alias("cell"))
+        .unionByName(ev.select(
+            F.lit("extra_key").alias("variant"),
+            F.concat(F.lit('{"k": '), k, F.lit(', "zz": "x"}')).alias("cell")))
+        .unionByName(ev.select(
+            F.lit("wrong_type").alias("variant"),
+            F.concat(F.lit('{"k": "s'), k, F.lit('"}')).alias("cell")))
+    )
+    pred, _tier = compile_json(rule, F.col("cell"))
+    return (
+        variants.select("variant", pred.alias("ok"))
+        .groupBy("variant")
+        .agg(F.sum(F.col("ok").cast("long")).alias("n_valid"),
+             F.count(F.lit(1)).alias("n_total"))
+    )
+
+
+SQL_UNEVAL_PROPS_EVENTS = """
+WITH v AS (
+  SELECT 'plain' AS variant,
+         (json_extract(props, '$.k') IS NOT NULL
+          AND CAST(json_extract(props, '$.k') AS DOUBLE) >= 0) AS ok
+  FROM events
+  UNION ALL
+  SELECT 'extra_key', FALSE FROM events
+  UNION ALL
+  SELECT 'wrong_type', FALSE FROM events
+)
+SELECT variant,
+       SUM(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       COUNT(*)::BIGINT AS n_total
+FROM v GROUP BY variant
+"""
+
+
+def q_content_b64_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """content* keywords under the oracle gate: documents' n_chars
+    serialized as base64(JSON), validated with the unbase64 round-trip
+    + try_parse_json + compiled contentSchema on the variant tier.
+    The 'corrupt' variant breaks the base64 alphabet."""
+    from fences_spark.compiler.jsonvalue import compile_json
+
+    rule = {
+        "type": "string",
+        "contentEncoding": "base64",
+        "contentMediaType": "application/json",
+        "contentSchema": {
+            "type": "object",
+            "required": ["len"],
+            "properties": {"len": {"type": "integer", "minimum": 1}},
+        },
+    }
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(F.lit('{"len": '), F.col("n_chars").cast("string"), F.lit("}"))
+    b64 = F.base64(F.encode(payload, "UTF-8"))
+    # the rule column holds JSON *documents*: the string value is its
+    # own JSON serialization (base64 alphabet needs no escaping)
+    variants = (
+        docs.select(F.lit("plain").alias("variant"),
+                    F.concat(F.lit('"'), b64, F.lit('"')).alias("cell"))
+        .unionByName(docs.select(F.lit("corrupt").alias("variant"),
+                                 F.concat(F.lit('"'), b64, F.lit('!"')).alias("cell")))
+    )
+    pred, _tier = compile_json(rule, F.col("cell"))
+    return (
+        variants.select("variant", pred.alias("ok"))
+        .groupBy("variant")
+        .agg(F.sum(F.col("ok").cast("long")).alias("n_valid"),
+             F.count(F.lit(1)).alias("n_total"))
+    )
+
+
+SQL_CONTENT_B64_DOCS = """
+WITH v AS (
+  SELECT 'plain' AS variant, (n_chars >= 1) AS ok FROM documents
+  UNION ALL
+  SELECT 'corrupt', FALSE FROM documents
+)
+SELECT variant,
+       SUM(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       COUNT(*)::BIGINT AS n_total
+FROM v GROUP BY variant
+"""
+
+
 def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data curation):
     20% of 'en' docs, 10% of everything else, membership a pure
@@ -1192,6 +1294,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grammar_number_docs": q_grammar_number_docs,
     "openapi_requests": q_openapi_requests,
     "xsd_orders_xml": q_xsd_orders_xml,
+    "uneval_props_events": q_uneval_props_events,
+    "content_b64_docs": q_content_b64_docs,
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_jaccard": q_near_dup_jaccard,
     "sample_documents": q_sample_documents,
@@ -1230,6 +1334,8 @@ ORACLE_SQL: dict[str, str] = {
     "grammar_number_docs": SQL_GRAMMAR_NUMBER_DOCS,
     "openapi_requests": SQL_OPENAPI_REQUESTS,
     "xsd_orders_xml": SQL_XSD_ORDERS_XML,
+    "uneval_props_events": SQL_UNEVAL_PROPS_EVENTS,
+    "content_b64_docs": SQL_CONTENT_B64_DOCS,
     "near_dup_clusters": _sql_near_dup_clusters(),
     "near_dup_jaccard": _sql_near_dup_jaccard(),
     "sample_documents": SQL_SAMPLE_DOCUMENTS,
