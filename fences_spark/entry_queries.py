@@ -1261,6 +1261,81 @@ FROM v GROUP BY variant
 """
 
 
+_ANN_DIM, _ANN_PLANES, _ANN_TABLES, _ANN_K = 64, 4, 4, 3
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH (the 100 TB scale
+    path for similarity search): candidates collide in ANY of the
+    hash-derived hyperplane tables, then re-rank by exact cosine.
+    Fully deterministic (±1 plane weights are md5-derived literals),
+    so the DuckDB oracle reproduces the same buckets, candidates, and
+    ranks exactly."""
+    from fences_spark.operators.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ann_topk_lsh(
+        queries, emb, dim=_ANN_DIM, k=_ANN_K,
+        n_planes=_ANN_PLANES, n_tables=_ANN_TABLES, multiprobe=False,
+    ).select("query_id", "neighbor_id", "cos", "rank")
+
+
+def _ann_oracle_sql() -> str:
+    """DuckDB mirror of ann_topk_lsh: same ±1 weights (inlined as
+    literals), same bucket bits (proj > 0), same any-table collision
+    candidates, same cosine re-rank and tie-break."""
+    from fences_spark.operators.similarity import _plane_weight
+
+    def bucket_expr(vcol: str, table: int) -> str:
+        bits = []
+        for p in range(_ANN_PLANES):
+            ws = ", ".join(
+                str(int(_plane_weight(p, i, f"lsh:{table}"))) for i in range(_ANN_DIM)
+            )
+            bits.append(
+                f"(CASE WHEN list_dot_product({vcol}, [{ws}]::DOUBLE[]) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    def side(name: str, idc: str, where: str) -> str:
+        arms = " UNION ALL ".join(
+            f"SELECT vec_id AS {idc}, embedding::DOUBLE[] AS v_{idc}, {t} AS tbl, "
+            f"({bucket_expr('embedding::DOUBLE[]', t)}) AS bucket "
+            f"FROM embeddings {where}"
+            for t in range(_ANN_TABLES)
+        )
+        return f"{name} AS ({arms})"
+
+    return f"""
+WITH {side('qb', 'query_id', 'WHERE vec_id < 20')},
+{side('cb', 'neighbor_id', '')},
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qb JOIN cb USING (tbl, bucket)
+  WHERE query_id <> neighbor_id
+),
+qv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cos
+  FROM cand c
+  JOIN qv q ON q.vec_id = c.query_id
+  JOIN qv n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {_ANN_K}
+"""
+
+
+SQL_ANN_LSH_TOPK = _ann_oracle_sql()
+
+
 def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data curation):
     20% of 'en' docs, 10% of everything else, membership a pure
@@ -1296,6 +1371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xsd_orders_xml": q_xsd_orders_xml,
     "uneval_props_events": q_uneval_props_events,
     "content_b64_docs": q_content_b64_docs,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_jaccard": q_near_dup_jaccard,
     "sample_documents": q_sample_documents,
@@ -1336,6 +1412,7 @@ ORACLE_SQL: dict[str, str] = {
     "xsd_orders_xml": SQL_XSD_ORDERS_XML,
     "uneval_props_events": SQL_UNEVAL_PROPS_EVENTS,
     "content_b64_docs": SQL_CONTENT_B64_DOCS,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "near_dup_clusters": _sql_near_dup_clusters(),
     "near_dup_jaccard": _sql_near_dup_jaccard(),
     "sample_documents": SQL_SAMPLE_DOCUMENTS,
