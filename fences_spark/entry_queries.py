@@ -1336,6 +1336,94 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 SQL_ANN_LSH_TOPK = _ann_oracle_sql()
 
 
+_IVF_CELLS, _IVF_NPROBE, _IVF_K, _IVF_ITERS = 8, 2, 3, 1
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) ANN, the second
+    100 TB scale path: a deterministic Lloyd-fitted coarse quantizer
+    partitions the corpus into cells; each query probes its nprobe
+    nearest cells and candidates re-rank by exact cosine.  The fit is
+    cross-engine reproducible (seed = lowest-id vectors, means rounded
+    to 6 dp), so the DuckDB oracle re-derives the identical quantizer,
+    cells, candidates, and ranks from the same table."""
+    from fences_spark.operators.similarity import ivf_fit_centroids_det, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_fit_centroids_det(
+        emb, dim=_ANN_DIM, n_cells=_IVF_CELLS, iters=_IVF_ITERS
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(
+        queries, emb, cents, k=_IVF_K, nprobe=_IVF_NPROBE
+    ).select("query_id", "neighbor_id", "cos", "rank")
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB mirror of ivf_fit_centroids_det + ivf_topk: same seed
+    centroids (lowest n_cells ids), same squared-L2 assignment with
+    lowest-cell tie-break, same 6-dp-rounded Lloyd recenter (empty
+    cells keep their seed), same nprobe probing and cosine re-rank."""
+    dim, cells = _ANN_DIM, _IVF_CELLS
+    d_expr = (
+        "list_sum(list_transform(range(1, %d), i -> (e[i]-c[i])*(e[i]-c[i])))" % (dim + 1)
+    )
+
+    def assign(src_v: str, name: str, cent: str, rn_max: int, where: str = "") -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT {src_v}.vec_id, {cent}.cell, {d_expr} AS d
+          FROM {src_v} CROSS JOIN {cent} {where})
+  ) WHERE rn <= {rn_max}
+)"""
+
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c0 AS (
+  SELECT cell, e AS c FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+    FROM v ORDER BY vec_id LIMIT {cells})
+),
+{assign('v', 'a1', 'c0', 1)},
+cm AS (
+  SELECT a1.cell, r.i AS dim, round(avg(v.e[r.i]), 6) AS m
+  FROM a1 JOIN v USING (vec_id) CROSS JOIN range(1, {dim + 1}) r(i)
+  GROUP BY a1.cell, r.i
+),
+c1 AS (
+  SELECT c0.cell, coalesce(cl.c, c0.c) AS c
+  FROM c0 LEFT JOIN (
+    SELECT cell, list(m ORDER BY dim) AS c FROM cm GROUP BY cell) cl
+  USING (cell)
+),
+{assign('v', 'ca', 'c1', 1)},
+{assign('v', 'qp', 'c1', _IVF_NPROBE, 'WHERE v.vec_id < 20')},
+cand AS (
+  SELECT DISTINCT qp.vec_id AS query_id, ca.vec_id AS neighbor_id
+  FROM qp JOIN ca USING (cell)
+  WHERE qp.vec_id <> ca.vec_id
+),
+qv AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_dot_product(q.vec, n.vec)
+               / (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(n.vec, n.vec))), 6) AS cos
+  FROM cand c
+  JOIN qv q ON q.vec_id = c.query_id
+  JOIN qv n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {_IVF_K}
+"""
+
+
+SQL_ANN_IVF_TOPK = _ivf_oracle_sql()
+
+
 def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data curation):
     20% of 'en' docs, 10% of everything else, membership a pure
@@ -1372,6 +1460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uneval_props_events": q_uneval_props_events,
     "content_b64_docs": q_content_b64_docs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_jaccard": q_near_dup_jaccard,
     "sample_documents": q_sample_documents,
@@ -1413,6 +1502,7 @@ ORACLE_SQL: dict[str, str] = {
     "uneval_props_events": SQL_UNEVAL_PROPS_EVENTS,
     "content_b64_docs": SQL_CONTENT_B64_DOCS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "near_dup_clusters": _sql_near_dup_clusters(),
     "near_dup_jaccard": _sql_near_dup_jaccard(),
     "sample_documents": SQL_SAMPLE_DOCUMENTS,

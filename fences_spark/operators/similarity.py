@@ -250,6 +250,48 @@ def ivf_fit_centroids(
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
+def ivf_fit_centroids_det(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    iters: int = 1,
+    decimals: int = 6,
+) -> list[list[float]]:
+    """Deterministic Lloyd fit, cross-engine reproducible: seed
+    centroids are the vectors with the ``n_cells`` smallest ids (cell
+    id = rank in that order); each iteration assigns every vector to
+    its nearest centroid (squared L2, ties to the lowest cell) and
+    recenters to the element-wise mean ROUNDED to ``decimals`` —
+    the rounding pins the model across engines whose float summation
+    order differs (Spark partial aggregation vs DuckDB), so the SQL
+    oracle re-derives the identical quantizer from the same table.
+    A cell that loses all members keeps its previous centroid.  The
+    model is tiny (n_cells × dim) and collected driver-side per
+    iteration — the standard k-means fit shape; all per-row work is
+    distributed Column algebra."""
+    v = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    seed_rows = v.orderBy("vid").limit(n_cells).collect()
+    cents = [list(map(float, r["e"])) for r in seed_rows]
+    for _ in range(iters):
+        assigned = v.withColumn("cell", _nearest_cells(F.col("e"), cents, 1)[0])
+        means = (
+            assigned.groupBy("cell")
+            .agg(*[
+                F.round(F.avg(F.col("e").getItem(i)), decimals).alias(f"m{i}")
+                for i in range(dim)
+            ])
+            .collect()
+        )
+        by_cell = {r["cell"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        cents = [by_cell.get(c, cents[c]) for c in range(n_cells)]
+    return cents
+
+
 def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
     """Array of the ``nprobe`` nearest centroid ids (squared-L2),
     fully unrolled into the expression tree — no UDF."""

@@ -213,6 +213,22 @@ class TestSimilarity:
         r = S.recall_at_k(exact, approx, 5)
         assert r >= 0.6, f"IVF recall@5 = {r}"
 
+    def test_ivf_det_fit_deterministic_and_usable(self, spark, emb):
+        """The oracle-reproducible fit: identical across runs (no RNG,
+        means rounded) and a working quantizer — non-trivial recall
+        with the same search path as the MLlib fit."""
+        c1 = S.ivf_fit_centroids_det(emb, dim=64, n_cells=8, iters=1)
+        c2 = S.ivf_fit_centroids_det(emb, dim=64, n_cells=8, iters=1)
+        assert c1 == c2
+        assert len(c1) == 8 and all(len(c) == 64 for c in c1)
+        # rounded recenter: every coordinate sits on the 1e-6 grid
+        assert all(x == round(x, 6) for c in c1 for x in c)
+        queries = emb.limit(50)
+        exact = S.cosine_topk(queries, emb, k=5)
+        approx = S.ivf_topk(queries, emb, c1, k=5, nprobe=3)
+        r = S.recall_at_k(exact, approx, 5)
+        assert r >= 0.5, f"det-IVF recall@5 = {r}"
+
 
 class TestText:
     def test_token_counts(self, spark):
