@@ -36,6 +36,8 @@ HEADLINE = [
     "minhash_lsh_docs",
     "text_profile_docs",
     "embedding_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "grammar_priority_orders",
     "grammar_number_docs",
     "openapi_requests",

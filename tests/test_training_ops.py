@@ -229,6 +229,43 @@ class TestSimilarity:
         r = S.recall_at_k(exact, approx, 5)
         assert r >= 0.5, f"det-IVF recall@5 = {r}"
 
+    def test_ivf_det_fit_matches_duckdb(self, spark, emb):
+        """Cross-engine fit parity — the assumption the ann_ivf_topk
+        oracle rests on: DuckDB re-derives the exact same rounded
+        centroids from the same table (6-dp rounding absorbs the
+        engines' different float summation orders)."""
+        import duckdb
+
+        spark_c = S.ivf_fit_centroids_det(emb, dim=64, n_cells=8, iters=1)
+        d_expr = "list_sum(list_transform(range(1, 65), i -> (e[i]-c[i])*(e[i]-c[i])))"
+        duck = duckdb.sql(f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+           FROM '{SF}/embeddings.parquet'),
+c0 AS (
+  SELECT cell, e AS c FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+    FROM v ORDER BY vec_id LIMIT 8)
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM (SELECT v.vec_id, c0.cell, {d_expr} AS d FROM v CROSS JOIN c0)
+  ) WHERE rn = 1
+),
+cm AS (
+  SELECT a1.cell, r.i AS dim, round(avg(v.e[r.i]), 6) AS m
+  FROM a1 JOIN v USING (vec_id) CROSS JOIN range(1, 65) r(i)
+  GROUP BY a1.cell, r.i
+)
+SELECT c0.cell, coalesce(cl.c, c0.c) AS c
+FROM c0 LEFT JOIN (
+  SELECT cell, list(m ORDER BY dim) AS c FROM cm GROUP BY cell) cl
+USING (cell)
+ORDER BY cell
+""").fetchall()
+        duck_c = [list(map(float, row[1])) for row in duck]
+        assert spark_c == duck_c
+
 
 class TestText:
     def test_token_counts(self, spark):
