@@ -53,6 +53,33 @@ def synth_media_table(spark: SparkSession, n: int) -> DataFrame:
     return df.select("media_id", modality.alias("modality"), payload.alias("payload"), meta.alias("meta"))
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Project a documents table (doc_id, text, …) into the media
+    schema: payload = UTF-8 bytes of the text, modality round-robins
+    image/audio/video on doc_id, duration derived from doc_id.  Every
+    field is a pure function of the row, so a SQL oracle can re-derive
+    the identical table — this is what lets the mapInPandas operators
+    downstream be value-hash gated instead of rows-only."""
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), 3) + 1).cast("int"),
+    )
+    meta = F.struct(
+        F.concat(F.lit("x-fake/"), modality).alias("mime"),
+        (F.pmod(F.col("doc_id"), 640) + 1).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), 480) + 1).cast("int").alias("height"),
+        # spread durations over the full 0..90s range even for small
+        # consecutive doc_id domains, so frame counts exercise 1..8
+        F.pmod(F.col("doc_id") * 7919, 90000).cast("int").alias("duration_ms"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.col("text").cast("binary").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
 def _fake_feature(payload: bytes) -> list[float]:
     """Deterministic stand-in for a decoded-content embedding."""
     h = hashlib.sha256(payload or b"").digest()
@@ -93,7 +120,12 @@ def sample_frames(df: DataFrame, *, every_ms: int = 10_000, max_frames: int = 8,
                   decode: str = "fake") -> DataFrame:
     """Video frame sampling: one output row per sampled frame.  Fake
     decode derives frame hashes from (payload, frame index); a real
-    decoder would seek to frame_idx * every_ms."""
+    decoder would seek to frame_idx * every_ms.
+
+    Frame-hash convention: sha256(payload || '#' || str(frame_idx)) —
+    the index suffix is an ASCII decimal (not raw bytes) so the exact
+    same hash is reproducible in engines whose sha256 only accepts
+    text (DuckDB oracle), and '#' keeps (payload, idx) unambiguous."""
     videos = df.filter(F.col("modality") == "video")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -108,7 +140,10 @@ def sample_frames(df: DataFrame, *, every_ms: int = 10_000, max_frames: int = 8,
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)
                     rows["frame_sha256"].append(
-                        hashlib.sha256((bytes(payload) if payload is not None else b"") + i.to_bytes(4, "big")).hexdigest()
+                        hashlib.sha256(
+                            (bytes(payload) if payload is not None else b"")
+                            + b"#" + str(i).encode()
+                        ).hexdigest()
                     )
             yield pd.DataFrame(rows)
 

@@ -356,6 +356,28 @@ class TestMultimodal:
         with pytest.raises(Exception, match="NotImplementedError|real decode"):
             extract_features(media, decode="real").collect()
 
+    def test_entry_queries_match_duckdb(self, spark):
+        """The mapInPandas boundary is value-hash gated: the fake-decode
+        features and frame hashes must be re-derivable in pure SQL
+        (entry queries multimodal_features / multimodal_frames)."""
+        import duckdb
+
+        from fences_spark.entry_queries import (
+            ORACLE_SQL,
+            q_multimodal_features,
+            q_multimodal_frames,
+        )
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        for q, name in [
+            (q_multimodal_features, "multimodal_features"),
+            (q_multimodal_frames, "multimodal_frames"),
+        ]:
+            got = {tuple(str(c) for c in r) for r in q(spark, SF).collect()}
+            want = {tuple(str(c) for c in r) for r in con.execute(ORACLE_SQL[name]).fetchall()}
+            assert got == want, f"{name}: {len(got ^ want)} differing rows"
+
 
 class TestConnectedComponents:
     def test_chain_and_separate_components(self, spark):
