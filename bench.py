@@ -58,14 +58,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    # untimed warm-up pass over every headline query: the first
+    # execution of each distinct plan pays one-time JVM JIT/codegen
+    # compilation and cold OS page-cache reads of the parquet inputs
+    # (observed 2x on the whole suite from a cold container).  Those
+    # are per-process/per-boot costs, not plan costs — a long-lived
+    # cluster pays them once, so the baseline tracks the warm plan.
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is not None:
+            fn(spark, SF_DIR).count()
+
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        # min of two executions: the first run of a plan pays one-time
-        # JVM JIT/codegen compilation and is exposed to host scheduling
-        # jitter (observed 2-4x swings on this shared box); the min
-        # measures the plan, which is what the baseline tracks.
+        # min of two timed executions absorbs residual host
+        # scheduling jitter on this shared box.
         best, n = float("inf"), 0
         for _ in range(2):
             t0 = time.time()

@@ -89,21 +89,34 @@ def _plane_weight(plane: int, i: int, seed: str) -> float:
     return 1.0 if h % 2 == 0 else -1.0
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int, seed: str = "lsh") -> Column:
-    """Integer bucket id: bit p = sign(v · h_p) with h_p ∈ {±1}^dim."""
-    bucket = F.lit(0)
+def _dbl(x: float) -> str:
+    """Exact SQL double literal: shortest-repr decimal parses back to
+    the identical IEEE double in both Spark and DuckDB."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def lsh_bucket(vec_sql: str, dim: int, n_planes: int, seed: str = "lsh") -> Column:
+    """Integer bucket id: bit p = sign(v · h_p) with h_p ∈ {±1}^dim.
+
+    Takes the vector as a SQL expression string and builds ONE
+    F.expr — the Column-by-Column construction it replaces issued a
+    py4j round-trip per literal (n_planes × dim of them), which
+    dominated wall time: plan BUILD was 2-4x the plan EXECUTION at
+    sf0.1.  Arithmetic (zip_with product, left-fold sum) is unchanged,
+    so buckets stay bit-identical."""
+    return F.expr(lsh_bucket_sql(vec_sql, dim, n_planes, seed))
+
+
+def lsh_bucket_sql(vec_sql: str, dim: int, n_planes: int, seed: str = "lsh") -> str:
+    terms = []
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(_plane_weight(p, i, seed)) for i in range(dim)]),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        ws = ",".join(f"{_plane_weight(p, i, seed):.1f}D" for i in range(dim))
+        proj = (
+            f"aggregate(zip_with({vec_sql}, array({ws}), (x, w) -> x * w), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def _neighbor_buckets(bucket: Column, n_planes: int) -> Column:
@@ -133,9 +146,12 @@ def ann_topk_lsh(
     per table, tuned via n_planes."""
     def sketch(df: DataFrame, out_id: str) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
-        buckets = F.array(*[
-            lsh_bucket(v, dim, n_planes, f"{seed}:{t}") for t in range(n_tables)
-        ])
+        vec_sql = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+        buckets = F.expr(
+            "array("
+            + ",".join(lsh_bucket_sql(vec_sql, dim, n_planes, f"{seed}:{t}") for t in range(n_tables))
+            + ")"
+        )
         return df.select(
             F.col(id_col).alias(out_id),
             v.alias("_v"),
@@ -153,17 +169,15 @@ def ann_topk_lsh(
             "query_id", "qv", "qn", "tbl",
             F.explode(_neighbor_buckets(F.col("bucket"), n_planes)).alias("bucket"),
         )
-    cand = (
-        q.join(c, ["tbl", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
-        .distinct()
-    )
+    cand = q.join(c, ["tbl", "bucket"]).filter(F.col("query_id") != F.col("neighbor_id"))
+    # score BEFORE the dedup: a multi-table collision duplicate costs
+    # one extra 64-FLOP dot product, while deduping first would key the
+    # shuffle on four 64-dim double arrays instead of three scalars
     scored = cand.select(
         "query_id",
         "neighbor_id",
         F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
-    )
+    ).distinct()
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -201,20 +215,29 @@ def embedding_near_dup_pairs(
             raise ValueError("dim is required for the LSH prefilter")
 
         def sketch(side: DataFrame, idc: str, vc: str, nc: str) -> DataFrame:
-            buckets = F.array(*[
-                lsh_bucket(F.col(vc), dim, n_planes, f"{seed}:{t}") for t in range(n_tables)
-            ])
+            buckets = F.expr(
+                "array("
+                + ",".join(lsh_bucket_sql(vc, dim, n_planes, f"{seed}:{t}") for t in range(n_tables))
+                + ")"
+            )
             return side.select(idc, vc, nc, F.posexplode(buckets).alias("tbl", "bucket"))
 
         cand = (
             sketch(a, "id_a", "va", "na")
             .join(sketch(b, "id_b", "vb", "nb"), ["tbl", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "na", "vb", "nb")
-            .distinct()
         )
-    else:
-        cand = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        # score before dedup: scalar-keyed distinct, not array-keyed
+        return (
+            cand.select(
+                "id_a",
+                "id_b",
+                F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+            )
+            .distinct()
+            .filter(F.col("cos") >= threshold)
+        )
+    cand = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     return (
         cand.select(
             "id_a",
@@ -278,7 +301,7 @@ def ivf_fit_centroids_det(
     seed_rows = v.orderBy("vid").limit(n_cells).collect()
     cents = [list(map(float, r["e"])) for r in seed_rows]
     for _ in range(iters):
-        assigned = v.withColumn("cell", _nearest_cells(F.col("e"), cents, 1)[0])
+        assigned = v.withColumn("cell", _nearest_cells("e", cents, 1)[0])
         means = (
             assigned.groupBy("cell")
             .agg(*[
@@ -292,28 +315,22 @@ def ivf_fit_centroids_det(
     return cents
 
 
-def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+def _nearest_cells(vec_sql: str, centroids: list[list[float]], nprobe: int) -> Column:
     """Array of the ``nprobe`` nearest centroid ids (squared-L2),
-    fully unrolled into the expression tree — no UDF."""
-    dists = F.array(*[
-        F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    fully unrolled into the expression tree — no UDF.  Built as one
+    SQL string for the same plan-build-cost reason as lsh_bucket
+    (centroid literals: n_cells × dim py4j calls otherwise); the
+    array_sort on (d, cell) structs keeps ties resolved to the lowest
+    cell id, and _dbl literals reparse to bit-identical doubles."""
+    dists = ",".join(
+        f"aggregate(zip_with({vec_sql}, array({','.join(_dbl(x) for x in c)}), "
+        f"(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         for c in centroids
-    ])
-    ranked = F.slice(
-        F.transform(
-            F.array_sort(
-                F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell")))
-            ),
-            lambda s: s["cell"],
-        ),
-        1,
-        nprobe,
     )
-    return ranked
+    return F.expr(
+        f"slice(transform(array_sort(transform(array({dists}), "
+        f"(d, i) -> named_struct('d', d, 'cell', i))), s -> s.cell), 1, {nprobe})"
+    )
 
 
 def ivf_topk(
@@ -337,7 +354,7 @@ def ivf_topk(
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
         .withColumn("cn", norm(F.col("cv")))
-        .withColumn("cell", _nearest_cells(F.col("cv"), centroids, 1)[0])
+        .withColumn("cell", _nearest_cells("cv", centroids, 1)[0])
     )
     q = (
         queries.select(
@@ -345,7 +362,7 @@ def ivf_topk(
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
         .withColumn("qn", norm(F.col("qv")))
-        .withColumn("cell", F.explode(_nearest_cells(F.col("qv"), centroids, nprobe)))
+        .withColumn("cell", F.explode(_nearest_cells("qv", centroids, nprobe)))
     )
     scored = (
         q.join(c, "cell")
