@@ -13,6 +13,7 @@ hash-exact comparison:
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -883,6 +884,36 @@ def q_validate_files_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_generate_confusion_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline workflow distributed: fences-style
+    boundary-sample GENERATION over a table of schemas (one schema per
+    row, partitioned across executors), each sample scored by our
+    evaluator against the external jsonschema oracle, confusion counts
+    merged partial+final (reference ConfusionMatrix core/util.py:114-137;
+    suite loop test_json_schema_test_suite.py:120-133).  A diagonal
+    matrix (fp = fn = 0 on every row) is the same exactness statement
+    the pytest gate makes — here it is a cluster job.  Rows-only entry:
+    the generator is Python, not SQL-expressible; exact counts are
+    pinned in tests/test_generate.py.  DIALECT_ONLY fixtures are
+    excluded, mirroring the reference's own keyword blacklist
+    (test_json_schema_test_suite.py:104-118)."""
+    from fences_spark.fixtures import DIALECT_ONLY, ORACLE_SPECS
+    from fences_spark.schema.distributed import confusion_over
+
+    rows = [
+        (i, name, json.dumps(ORACLE_SPECS[name]))
+        for i, name in enumerate(sorted(set(ORACLE_SPECS) - DIALECT_ONLY))
+    ]
+    schemas = spark.createDataFrame(
+        rows, "schema_id long, name string, schema_json string"
+    )
+    conf = confusion_over(schemas)
+    return (
+        conf.join(schemas.select("schema_id", "name"), "schema_id")
+        .select("schema_id", "name", "n_samples", "tp", "tn", "fp", "fn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # grammar dialect (SURVEY.md §2.E) — validator dual of the reference's
 # EBNF combinators (fences/grammar/types.py:5-98, convert.py:46-142)
@@ -1569,6 +1600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_docs": q_quality_docs,
     "langid_docs": q_langid_docs,
     "validate_files_200k": q_validate_files_200k,
+    "generate_confusion_fixtures": q_generate_confusion_fixtures,
 }
 
 ORACLE_SQL: dict[str, str] = {
