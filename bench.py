@@ -42,6 +42,9 @@ HEADLINE = [
     "grammar_number_docs",
     "openapi_requests",
     "xsd_orders_xml",
+    "multimodal_features",
+    "multimodal_frames",
+    "generate_confusion_fixtures",
     "validate_files_200k",
 ]
 
