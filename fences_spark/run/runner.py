@@ -197,11 +197,15 @@ class ValidationRunner:
         for rid in res.rule_ids:
             agg_exprs.append(F.sum(F.col(rid).cast("long")).alias(f"{rid}__pass"))
             agg_exprs.append(F.sum((~F.col(rid)).cast("long")).alias(f"{rid}__fail"))
+        # persist: the aggregate is ≤ n_buckets rows, but it sits on a
+        # full input scan — without it the verdicts write AND the
+        # metrics collect below would each re-scan the input (a third
+        # full pass at 10^12-row scale)
         per_bucket = annotated.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum((~F.col("row_valid")).cast("long")).alias("rows_invalid"),
             *agg_exprs,
-        )
+        ).persist()
         stack = ", ".join(f"'{rid}', {rid}__pass, {rid}__fail" for rid in res.rule_ids)
         verdicts = per_bucket.selectExpr(
             "bucket",
@@ -213,6 +217,7 @@ class ValidationRunner:
 
         # metrics + lineage per bucket (driver-collected: ≤ n_buckets rows)
         stats = per_bucket.select("bucket", "rows", "rows_invalid").collect()
+        per_bucket.unpersist()
         secs = time.time() - t0
         seen = {r["bucket"] for r in stats}
         lineage = {
