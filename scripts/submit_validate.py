@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import time
 
 
@@ -47,7 +48,17 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    cores = spark.sparkContext.defaultParallelism
+    # defaultParallelism undercounts in local-cluster mode if read
+    # before the executors register — derive from the master URL
+    master = spark.sparkContext.master
+    m = re.match(r"local\[(\d+)\]", master)
+    mc = re.match(r"local-cluster\[(\d+),(\d+),\d+\]", master)
+    if m:
+        cores = int(m.group(1))
+    elif mc:
+        cores = int(mc.group(1)) * int(mc.group(2))
+    else:
+        cores = spark.sparkContext.defaultParallelism
 
     from fences_spark.flagship import files_ruleset
     from fences_spark.synth import files_table
