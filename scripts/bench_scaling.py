@@ -147,6 +147,7 @@ def main() -> None:
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    out_name = "BASELINE.md" if MODE == "local" else f"BASELINE.{MODE}.md"
     md = f"""# BENCH/BASELINE — scaling evidence (N vs 4N)
 
 North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
@@ -176,9 +177,9 @@ whose aggregate scan bandwidth scales with executor count).
 
 Command: `python scripts/bench_scaling.py` (ROWS via $SCALE_ROWS).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write(md)
-    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+    print(f"wrote BENCH/{out_name}", file=sys.stderr)
 
 
 if __name__ == "__main__":
