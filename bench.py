@@ -35,6 +35,10 @@ HEADLINE = [
     "events_json_props",
     "minhash_lsh_docs",
     "text_profile_docs",
+    "dup_span_docs",
+    "winnow_docs",
+    "repetition_docs",
+    "curate_documents",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -604,6 +604,221 @@ FROM documents
 """
 
 
+def q_dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact duplicate-span stats (Lee-et-al-style
+    substring dedup signal at word-5-gram granularity)."""
+    from fences_spark.operators.dedup import dup_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_span_stats(docs, "doc_id", "text", k=5)
+
+
+SQL_DUP_SPAN_DOCS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 5
+                     THEN list_transform(range(1, len(t) - 3),
+                                         i -> array_to_string(t[i:i+4], ' '))
+                     ELSE [array_to_string(t, ' ')] END) AS gram
+  FROM toks
+), hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT AS h FROM grams
+), counts AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS total_grams,
+       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_grams,
+       ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS dup_ratio
+FROM hashed JOIN counts USING (h)
+GROUP BY doc_id
+HAVING SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0
+ORDER BY doc_id
+"""
+
+
+def q_winnow_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets per document, folded to a digest so
+    the whole array is value-hash gated (k=8 char grams, window=4)."""
+    from fences_spark.operators.dedup import ensure_parallelism
+    from fences_spark.operators.text import winnow_fingerprints
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id")
+    staged = docs.select("doc_id", winnow_fingerprints(F.col("text")).alias("w"))
+    return staged.select(
+        "doc_id",
+        F.size("w").alias("n_fp"),
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("w"), lambda x: x.cast("string"))).cast(
+                "binary"
+            )
+        ).alias("fp_digest"),
+    ).orderBy("doc_id")
+
+
+SQL_WINNOW_DOCS = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS s FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(s) - 7, 1) + 1),
+                        i -> ('0x' || substring(md5(substring(s, i, 8)), 1, 15))::BIGINT) AS h
+  FROM n
+), mins AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+                          i -> list_min(h[i:i+3])))) AS m
+  FROM hs
+)
+SELECT doc_id, len(m)::INT AS n_fp, md5(array_to_string(m, ',')) AS fp_digest
+FROM mins ORDER BY doc_id
+"""
+
+
+def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: top-2-gram
+    character fraction and duplicate-3-gram position fraction."""
+    from fences_spark.operators.text import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text", top_k=2, dup_k=3)
+
+
+SQL_REPETITION_DOCS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, ks.k,
+         unnest(CASE WHEN len(t) >= ks.k
+                     THEN list_transform(range(1, len(t) - ks.k + 2),
+                                         i -> array_to_string(t[i:i+ks.k-1], ' '))
+                     ELSE [array_to_string(t, ' ')] END) AS gram
+  FROM toks, (VALUES (2), (3)) ks(k)
+), cnt AS (
+  SELECT doc_id, k, gram, COUNT(*)::BIGINT AS c FROM grams GROUP BY 1, 2, 3
+), agg AS (
+  SELECT doc_id, k,
+         SUM(c)::BIGINT AS total_pos,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup_pos,
+         SUM(c * length(gram))::BIGINT AS char_den
+  FROM cnt GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, gram AS top_gram, c AS top_c FROM (
+    SELECT doc_id, gram, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+    FROM cnt WHERE k = 2
+  ) WHERE rn = 1
+)
+SELECT a2.doc_id, top_gram,
+       ROUND(CASE WHEN a2.char_den > 0
+                  THEN (top_c * length(top_gram))::DOUBLE / a2.char_den
+                  ELSE 0 END, 6) AS top2gram_char_frac,
+       ROUND(CASE WHEN a3.total_pos > 0
+                  THEN a3.dup_pos::DOUBLE / a3.total_pos
+                  ELSE 0 END, 6) AS dup3gram_frac
+FROM (SELECT doc_id, char_den FROM agg WHERE k = 2) a2
+JOIN (SELECT doc_id, total_pos, dup_pos FROM agg WHERE k = 3) a3 USING (doc_id)
+JOIN top USING (doc_id)
+ORDER BY a2.doc_id
+"""
+
+
+def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation verdict per document: quality + repetition +
+    duplicate-span + exact-dedup filters → (doc_id, keep, reasons)."""
+    from fences_spark.operators.curate import curate_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_documents(docs, "doc_id", "text")
+
+
+def _sql_curate_documents() -> str:
+    """DuckDB mirror of curate_documents with default thresholds —
+    the full quality-score formula, the Gopher 3-gram repetition
+    fraction, the Lee-style 5-gram span fraction, and min-id
+    fingerprint canonicalization, composed identically."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), feat AS (
+  SELECT doc_id, text, toks,
+    ROUND(CASE WHEN len(toks) > 0
+               THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+               ELSE 0.0 END, 6) AS mtl,
+    ROUND(CASE WHEN length(text) > 0
+               THEN len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text)
+               ELSE 0.0 END, 6) AS ar,
+    ROUND(CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, x -> x IN ({_SW_EN})))::DOUBLE / len(toks)
+               ELSE 0.0 END, 6) AS sr
+  FROM t
+), q AS (
+  SELECT doc_id,
+    ROUND((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN mtl >= 2.5 AND mtl <= 12 THEN 0.25 ELSE 0.0 END)
+        + least(ar / 0.7::DOUBLE, 1.0::DOUBLE) * 0.25
+        + least(sr / 0.2::DOUBLE, 1.0::DOUBLE) * 0.25, 6) AS quality,
+    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM feat
+), keepers AS (
+  SELECT fp, MIN(doc_id) AS keep_id FROM q GROUP BY fp
+), c3 AS (
+  SELECT doc_id, gram, COUNT(*)::BIGINT AS c FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(1, len(toks) - 1),
+                                           i -> array_to_string(toks[i:i+2], ' '))
+                       ELSE [array_to_string(toks, ' ')] END) AS gram
+    FROM t) GROUP BY 1, 2
+), rep AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / SUM(c), 6) AS rep3
+  FROM c3 GROUP BY 1
+), hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT AS h FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 5
+                       THEN list_transform(range(1, len(toks) - 3),
+                                           i -> array_to_string(toks[i:i+4], ' '))
+                       ELSE [array_to_string(toks, ' ')] END) AS gram
+    FROM t)
+), counts AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h
+), span AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS span_ratio
+  FROM hashed JOIN counts USING (h) GROUP BY doc_id
+), j AS (
+  SELECT q.doc_id, quality,
+         COALESCE(rep3, 0.0) AS rep3,
+         COALESCE(span_ratio, 0.0) AS span_ratio,
+         (q.doc_id = keep_id) AS is_canonical
+  FROM q JOIN keepers USING (fp)
+  LEFT JOIN rep ON rep.doc_id = q.doc_id
+  LEFT JOIN span ON span.doc_id = q.doc_id
+)
+SELECT doc_id,
+       NOT (quality < 0.8::DOUBLE OR rep3 > 0.1::DOUBLE
+            OR span_ratio > 0.5::DOUBLE OR NOT is_canonical) AS keep,
+       concat_ws(',',
+         CASE WHEN quality < 0.8::DOUBLE THEN 'low_quality' END,
+         CASE WHEN rep3 > 0.1::DOUBLE THEN 'repetitive' END,
+         CASE WHEN span_ratio > 0.5::DOUBLE THEN 'dup_spans' END,
+         CASE WHEN NOT is_canonical THEN 'exact_dup' END) AS reasons
+FROM j
+ORDER BY doc_id
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for the first 20 vectors
     (broadcast corpus, zip_with/aggregate dot product)."""
@@ -1590,6 +1805,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_docs": q_minhash_lsh_docs,
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "text_profile_docs": q_text_profile_docs,
+    "dup_span_docs": q_dup_span_docs,
+    "winnow_docs": q_winnow_docs,
+    "repetition_docs": q_repetition_docs,
+    "curate_documents": q_curate_documents,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_vector_stats": q_embedding_vector_stats,
@@ -1635,6 +1854,10 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_lsh_docs": _sql_minhash(),
     "ngram_jaccard_docs": SQL_NGRAM_JACCARD,
     "text_profile_docs": SQL_TEXT_PROFILE,
+    "dup_span_docs": SQL_DUP_SPAN_DOCS,
+    "winnow_docs": SQL_WINNOW_DOCS,
+    "repetition_docs": SQL_REPETITION_DOCS,
+    "curate_documents": _sql_curate_documents(),
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_vector_stats": SQL_EMBEDDING_VECTOR_STATS,

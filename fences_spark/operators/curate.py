@@ -1,0 +1,105 @@
+"""End-to-end training-data curation verdicts: compose the quality,
+intra-doc repetition, cross-doc duplicate-span, and exact-dedup
+signals into one keep/drop decision (+ machine-readable reasons) per
+document — the composed filter a 100 TB curation pipeline actually
+runs.  No reference precedent (the reference validates single
+samples, not corpora); required by the task brief, SURVEY.md §2.F.
+
+Execution shape: four per-doc signal relations, every one keyed on
+doc_id after its first aggregation, so the final assembly is a chain
+of co-partitioned joins (AQE merges the exchanges).  All thresholds
+compare 6-dp-rounded doubles, so the keep verdict is bit-identical
+across engines (the DuckDB oracle mirrors the full formula).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from fences_spark.operators.dedup import (
+    dup_span_stats,
+    ensure_parallelism,
+    tokens,
+    word_shingles,
+)
+from fences_spark.operators.text import doc_fingerprint, quality_score
+
+
+def curate_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_quality: float = 0.8,
+    max_dup3gram: float = 0.1,
+    max_dup_span: float = 0.5,
+    span_k: int = 5,
+) -> DataFrame:
+    """(doc_id, keep, reasons) — keep=false iff any filter fires;
+    reasons is the comma-joined ordered list of fired filter names
+    (``low_quality``, ``repetitive``, ``dup_spans``, ``exact_dup``),
+    empty string when kept.
+
+    - ``low_quality``: :func:`quality_score` < ``min_quality``.
+    - ``repetitive``: duplicate word-3-gram position fraction
+      (Gopher-style) > ``max_dup3gram``.
+    - ``dup_spans``: cross-document duplicated ``span_k``-gram
+      position fraction (Lee-et-al-style) > ``max_dup_span``.
+    - ``exact_dup``: not the canonical (minimum-id) document of its
+      normalized-content fingerprint group.
+    """
+    base = ensure_parallelism(df, id_col).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    q = base.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    keepers = q.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+
+    g3 = base.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("gram"),
+    )
+    c3 = g3.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    rep = c3.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c"),
+            6,
+        ).alias("rep3")
+    )
+
+    span = dup_span_stats(base, "doc_id", "text", k=span_k).select(
+        "doc_id", "dup_ratio"
+    )
+
+    j = (
+        q.join(keepers, "fp")
+        .join(rep, "doc_id", "left")
+        .join(span, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            F.coalesce(F.col("rep3"), F.lit(0.0)).alias("rep3"),
+            F.coalesce(F.col("dup_ratio"), F.lit(0.0)).alias("span_ratio"),
+            (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
+        )
+    )
+
+    flags = [
+        ("low_quality", F.col("quality") < F.lit(min_quality)),
+        ("repetitive", F.col("rep3") > F.lit(max_dup3gram)),
+        ("dup_spans", F.col("span_ratio") > F.lit(max_dup_span)),
+        ("exact_dup", ~F.col("is_canonical")),
+    ]
+    # concat_ws skips nulls, so un-fired flags vanish from the list
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in flags]
+    )
+    keep = ~flags[0][1] & ~flags[1][1] & ~flags[2][1] & ~flags[3][1]
+    return j.select(
+        "doc_id", keep.alias("keep"), reasons.alias("reasons")
+    ).orderBy("doc_id")

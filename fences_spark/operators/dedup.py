@@ -48,13 +48,21 @@ def tokens(col: Column) -> Column:
 
 def word_shingles(toks: Column, k: int) -> Column:
     """k-word shingles as strings; a doc shorter than k words yields
-    its single joined token string."""
-    short = F.array(F.concat_ws(" ", toks))
-    full = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    return F.when(F.size(toks) >= k, full).otherwise(short)
+    its single joined token string.
+
+    Execution shape: higher-order lambdas re-evaluate non-lambda-var
+    subtrees once PER ELEMENT, so the naive ``transform(sequence, i ->
+    concat_ws(slice(toks, i, k)))`` re-tokenizes the document per
+    shingle — O(n²) interpreted work per row (measured 2× wall on the
+    sf0.1 dedup queries).  Instead join the tokens once and capture
+    every k-word run in ONE regex pass: a consumed leading space per
+    position plus a zero-width lookahead capture, O(n·k) total."""
+    joined = F.concat_ws(" ", toks)
+    # tokens never contain spaces (any tokenizer splitting on them),
+    # so [^ ]+ words in the single-space-joined string are the tokens
+    pattern = f" (?=([^ ]+(?: [^ ]+){{{k - 1}}}))"
+    full = F.regexp_extract_all(F.concat(F.lit(" "), joined), F.lit(pattern), 1)
+    return F.when(F.size(toks) >= k, full).otherwise(F.array(joined))
 
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -480,4 +488,51 @@ def cluster_summary(components: DataFrame) -> DataFrame:
     return (
         components.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("size"), F.min("node").alias("keep_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span detection (cross-document k-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_stats(df: DataFrame, id_col: str, text_col: str, *, k: int = 5) -> DataFrame:
+    """Per-document exact duplicate-span signal: the fraction of word
+    k-gram *positions* whose gram also occurs in at least one other
+    document ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022 — gram-granular variant of its exact
+    substring dedup; no reference precedent, see SURVEY.md §2.F).
+
+    Returns (doc_id, total_grams, dup_grams, dup_ratio) for documents
+    with at least one cross-document duplicated span, ordered by id.
+
+    Execution shape: positional grams are exploded once and carried
+    as 60-bit md5 longs (8-byte shuffle keys, not gram strings); the
+    gram→distinct-doc-count aggregate and the gram↔count equi-join
+    both hash-partition on that long, so AQE coalesces them into
+    adjacent stages with map-side combine — two shuffles total plus
+    the final per-doc fold keyed on doc_id.  Linear in corpus size;
+    no UDFs, all codegen'd builtins."""
+    g = ensure_parallelism(df, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(word_shingles(tokens(F.col(text_col)), k), _token_hash)
+        ).alias("h"),
+    )
+    counts = g.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        g.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("dup_grams"),
+        )
+        .filter(F.col("dup_grams") > 0)
+        .select(
+            "doc_id",
+            "total_grams",
+            "dup_grams",
+            F.round(F.col("dup_grams") / F.col("total_grams"), 6).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
     )

@@ -110,17 +110,35 @@ def winnow_fingerprints(text: Column, *, k: int = 8, window: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
     scheme): hash every k-char gram of the normalized text, slide a
     window of ``window`` hashes, keep each window's minimum; the
-    distinct minima are the fingerprint set."""
+    distinct minima are the fingerprint set.
+
+    Execution shape (per-row, narrow, no shuffle): higher-order
+    lambdas re-evaluate any non-lambda-variable subtree once PER
+    ELEMENT, so the naive ``transform(sequence, i -> substr(norm, i,
+    k))`` / ``transform(sequence, i -> array_min(slice(hashes, i,
+    w)))`` forms are O(n²) interpreted regex/md5 per document
+    (observed: minutes for 500 ×300-gram docs).  Instead: all k-grams
+    in ONE regex pass via a zero-width lookahead capture
+    ``(?=(.{k}))``, then sliding-window minima by log₂(window)
+    doubling ``zip_with(least)`` passes — zip_with null-pads the
+    shorter side and ``least`` skips nulls, so clipped trailing
+    windows match ``array_min(slice(...))`` exactly.  O(n·window)
+    total."""
     norm = F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
-        lambda i: norm.substr(i, F.lit(k)),
-    )
-    hashes = F.transform(grams, _token_hash)
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
-    )
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    grams = F.when(
+        F.length(norm) >= k,
+        F.regexp_extract_all(norm, F.lit(f"(?=(.{{{k}}}))"), 1),
+    ).otherwise(F.array(norm))
+    mins = F.transform(grams, _token_hash)
+    # doubling passes: after each, mins[i] = min(hashes[i .. i+p-1])
+    p = 1
+    while p < window:
+        step = min(p, window - p)  # overlap-safe for non-power-of-2 windows
+        shifted = F.slice(mins, step + 1, F.greatest(n_grams - step, F.lit(1)))
+        mins = F.zip_with(mins, shifted, lambda x, y: F.least(x, y))
+        p += step
+    mins = F.slice(mins, 1, F.greatest(n_grams - (window - 1), F.lit(1)))
     return F.array_sort(F.array_distinct(mins))
 
 
@@ -142,4 +160,88 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         *[v.alias(k) for k, v in f.items() if k != "n_tokens"],
         quality_score(t).alias("quality"),
         doc_fingerprint(t).alias("fingerprint"),
+    )
+
+# ---------------------------------------------------------------------------
+# intra-document repetition signals (Gopher/MassiveText-style filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, *, top_k: int = 2, dup_k: int = 3
+) -> DataFrame:
+    """Per-document repetition quality signals in the style of the
+    public Gopher/MassiveText filtering rules (Rae et al. 2021,
+    "Scaling Language Models", table A1 — top n-gram character
+    fraction and duplicate n-gram fraction; no reference precedent,
+    SURVEY.md §2.F):
+
+    - ``top2gram_char_frac``: character mass of the single most
+      frequent word ``top_k``-gram over the character mass of all
+      ``top_k``-gram positions (ties broken by gram ascending).
+    - ``dup3gram_frac``: fraction of ``dup_k``-gram positions whose
+      gram occurs more than once within the document.
+
+    Execution shape: one scan — both gram sizes are tagged structs in
+    a single concatenated array, exploded once, then ONE
+    ``groupBy(doc_id, k, gram)`` count (map-side combined); the
+    per-doc folds and the top-gram window all re-key on doc_id, so
+    everything after the first shuffle is doc-partitioned.  All
+    integer arithmetic until the final two divisions (6-dp rounded,
+    cross-engine exact)."""
+    from pyspark.sql import Window
+
+    from fences_spark.operators.dedup import ensure_parallelism, word_shingles
+
+    def tagged(k: int):
+        toks = tokens(F.col(text_col))
+        return F.transform(
+            word_shingles(toks, k),
+            lambda g: F.struct(F.lit(k).alias("k"), g.alias("gram")),
+        )
+
+    g = (
+        ensure_parallelism(df, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.concat(tagged(top_k), tagged(dup_k))).alias("t"),
+        )
+        .select("doc_id", F.col("t.k").alias("k"), F.col("t.gram").alias("gram"))
+    )
+    cnt = g.groupBy("doc_id", "k", "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id", "k").agg(
+        F.sum("c").alias("total_pos"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_pos"),
+        F.sum(F.col("c") * F.length("gram")).alias("char_den"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("gram"))
+    top = (
+        cnt.filter(F.col("k") == top_k)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("gram").alias("top_gram"), F.col("c").alias("top_c"))
+    )
+    a_top = agg.filter(F.col("k") == top_k).select("doc_id", "char_den")
+    a_dup = agg.filter(F.col("k") == dup_k).select("doc_id", "total_pos", "dup_pos")
+    return (
+        a_top.join(a_dup, "doc_id")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "top_gram",
+            F.round(
+                F.when(
+                    F.col("char_den") > 0,
+                    F.col("top_c") * F.length("top_gram") / F.col("char_den"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top2gram_char_frac"),
+            F.round(
+                F.when(
+                    F.col("total_pos") > 0, F.col("dup_pos") / F.col("total_pos")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup3gram_frac"),
+        )
+        .orderBy("doc_id")
     )

@@ -443,3 +443,135 @@ class TestDeterministicSampling:
         assert "ffff" < threshold_hex(1.0)
         with _pytest.raises(ValueError):
             threshold_hex(1.5)
+
+
+class TestDupSpans:
+    def test_dup_span_stats_exact(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens → 2 5-grams
+        df = spark.createDataFrame(
+            [
+                (1, shared + " one two three four"),   # 10 tokens → 6 grams, 2 dup
+                (2, shared),                            # 2 grams, both dup
+                (3, "totally unrelated words here live now"),  # 2 grams, 0 dup
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in D.dup_span_stats(df, "doc_id", "text", k=5).collect()}
+        assert set(rows) == {1, 2}  # doc 3 filtered (no dup spans)
+        assert rows[1]["total_grams"] == 6 and rows[1]["dup_grams"] == 2
+        assert rows[2]["total_grams"] == 2 and rows[2]["dup_grams"] == 2
+        assert rows[1]["dup_ratio"] == round(2 / 6, 6)
+        assert rows[2]["dup_ratio"] == 1.0
+
+    def test_short_doc_single_gram(self, spark):
+        df = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc"), (3, "other")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in D.dup_span_stats(df, "doc_id", "text", k=5).collect()}
+        assert set(rows) == {1, 2}
+        assert rows[1]["total_grams"] == 1 and rows[1]["dup_ratio"] == 1.0
+
+
+class TestRepetition:
+    def test_repetition_signals_exact(self, spark):
+        # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → top "a b" ×3
+        # char mass: "a b"=3 chars ×3 + "b a"×2 → 9 / 15
+        # 3-grams = [a b a, b a b, a b a, b a b] → all positions duplicated
+        df = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "all distinct words in here now")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in
+                TX.repetition_signals(df, "doc_id", "text").collect()}
+        assert rows[1]["top_gram"] == "a b"
+        assert rows[1]["top2gram_char_frac"] == round(9 / 15, 6)
+        assert rows[1]["dup3gram_frac"] == 1.0
+        assert rows[2]["dup3gram_frac"] == 0.0
+
+    def test_tie_break_ascending(self, spark):
+        # every 2-gram occurs once → tie → lexicographically smallest wins
+        df = spark.createDataFrame([(1, "zeta alpha beta")], "doc_id long, text string")
+        row = TX.repetition_signals(df, "doc_id", "text").collect()[0]
+        assert row["top_gram"] == "alpha beta"
+
+
+def _winnow_py(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Pure-Python golden mirror of winnow_fingerprints."""
+    import hashlib
+    import re as _re
+
+    norm = _re.sub("[^a-z0-9]+", " ", text.lower())
+    n = max(len(norm) - (k - 1), 1)
+    grams = [norm[i : i + k] for i in range(n)]
+    hashes = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    mins = [min(hashes[i : i + window]) for i in range(max(n - (window - 1), 1))]
+    return sorted(set(mins))
+
+
+class TestWinnowGolden:
+    @pytest.mark.parametrize("text", [
+        "",
+        "ab",
+        "exactly8",
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaaaaaaaa",
+        "Mixed CASE with   punctuation!!! and numbers 12345 too",
+    ])
+    def test_matches_python_mirror(self, spark, text):
+        got = spark.createDataFrame([(text,)], "text string").select(
+            TX.winnow_fingerprints(F.col("text")).alias("w")
+        ).collect()[0]["w"]
+        assert got == _winnow_py(text)
+
+    def test_nonstandard_window_sizes(self, spark):
+        text = "the quick brown fox jumps over the lazy dog"
+        for k, window in [(4, 3), (5, 5), (8, 2), (3, 7)]:
+            got = spark.createDataFrame([(text,)], "text string").select(
+                TX.winnow_fingerprints(F.col("text"), k=k, window=window).alias("w")
+            ).collect()[0]["w"]
+            assert got == _winnow_py(text, k, window), (k, window)
+
+
+class TestCurate:
+    def test_curate_flags(self, spark):
+        good = ("the quick brown fox jumps over the lazy dog and then the dog "
+                "sleeps for a while in the warm sun of a quiet afternoon")
+        dup = ("it was the best of times and it was the worst of times for "
+               "all of the people in that old and busy town by the sea")
+        df = spark.createDataFrame(
+            [
+                (1, good),                      # unique, high quality → kept
+                (2, dup),                       # canonical of the dup pair
+                (3, dup),                       # exact dup of 2
+                (4, "!!! ??? ;;; ###"),        # punctuation soup → low quality
+                (5, "spam ham spam ham spam ham spam ham spam ham spam ham"),  # repetitive
+            ],
+            "doc_id long, text string",
+        )
+        from fences_spark.operators.curate import curate_documents
+
+        rows = {r["doc_id"]: r for r in curate_documents(df, "doc_id", "text").collect()}
+        assert rows[1]["keep"] is True and rows[1]["reasons"] == ""
+        # span duplication is symmetric: BOTH copies' 5-grams are
+        # cross-document duplicates, so the canonical copy flags
+        # dup_spans too (only exact_dup distinguishes them)
+        assert rows[2]["keep"] is False and rows[2]["reasons"] == "dup_spans"
+        assert rows[3]["keep"] is False and rows[3]["reasons"] == "dup_spans,exact_dup"
+        assert rows[4]["keep"] is False and "low_quality" in rows[4]["reasons"]
+        assert rows[5]["keep"] is False and "repetitive" in rows[5]["reasons"]
+
+    def test_reasons_ordered_and_composed(self, spark):
+        df = spark.createDataFrame(
+            [(1, "zz zz zz zz zz zz zz zz"), (2, "zz zz zz zz zz zz zz zz")],
+            "doc_id long, text string",
+        )
+        from fences_spark.operators.curate import curate_documents
+
+        rows = {r["doc_id"]: r for r in curate_documents(df, "doc_id", "text").collect()}
+        # doc 2: fails quality (no stopwords/low alpha variety is fine —
+        # short tokens), repetition, span dup AND exact dup; reason order
+        # is the documented flag order
+        assert rows[2]["reasons"].split(",") == [
+            "low_quality", "repetitive", "dup_spans", "exact_dup",
+        ]
