@@ -39,6 +39,8 @@ HEADLINE = [
     "winnow_docs",
     "repetition_docs",
     "curate_documents",
+    "token_topk_docs",
+    "chunk_docs",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -730,6 +730,71 @@ ORDER BY a2.doc_id
 """
 
 
+def q_token_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 tokens by term frequency with
+    document frequency, ties broken by token ascending."""
+    from fences_spark.operators.text import corpus_token_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_token_topk(docs, "doc_id", "text", k=20)
+
+
+SQL_TOKEN_TOPK_DOCS = """
+SELECT token, COUNT(*)::BIGINT AS tf, COUNT(DISTINCT doc_id)::BIGINT AS df
+FROM (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 20
+"""
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token training chunks (stride 48, back-aligned
+    tail) per document."""
+    from fences_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+SQL_CHUNK_DOCS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 64
+              THEN list_transform(range(1, len(toks) - 62),
+                                  i -> array_to_string(toks[i:i+63], ' '))
+              ELSE [array_to_string(toks, ' ')] END AS g,
+         greatest(len(toks) - 63, 1) AS ng
+  FROM t
+), ch AS (
+  SELECT doc_id,
+         CASE WHEN (ng - 1) % 48 = 0 THEN regular
+              ELSE list_concat(regular, [g[ng]]) END AS chunks
+  FROM (SELECT doc_id, g, ng,
+               list_filter(g, (x, i) -> (i - 1) % 48 = 0) AS regular
+        FROM g)
+)
+SELECT doc_id,
+       unnest(list_transform(chunks, (c, i) -> (i - 1)::INT)) AS chunk_idx,
+       unnest(list_transform(chunks,
+              c -> (CASE WHEN c = '' THEN 0 ELSE len(string_split(c, ' ')) END)::INT)) AS n_tokens,
+       unnest(chunks) AS chunk
+FROM ch
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation verdict per document: quality + repetition +
     duplicate-span + exact-dedup filters → (doc_id, keep, reasons)."""
@@ -1809,6 +1874,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_docs": q_winnow_docs,
     "repetition_docs": q_repetition_docs,
     "curate_documents": q_curate_documents,
+    "token_topk_docs": q_token_topk_docs,
+    "chunk_docs": q_chunk_docs,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_vector_stats": q_embedding_vector_stats,
@@ -1858,6 +1925,8 @@ ORACLE_SQL: dict[str, str] = {
     "winnow_docs": SQL_WINNOW_DOCS,
     "repetition_docs": SQL_REPETITION_DOCS,
     "curate_documents": _sql_curate_documents(),
+    "token_topk_docs": SQL_TOKEN_TOPK_DOCS,
+    "chunk_docs": SQL_CHUNK_DOCS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_vector_stats": SQL_EMBEDDING_VECTOR_STATS,

@@ -245,3 +245,81 @@ def repetition_signals(
         )
         .orderBy("doc_id")
     )
+
+# ---------------------------------------------------------------------------
+# corpus-level token statistics (heavy hitters)
+# ---------------------------------------------------------------------------
+
+
+def corpus_token_topk(df: DataFrame, id_col: str, text_col: str, *, k: int = 20) -> DataFrame:
+    """(token, tf, df) — the ``k`` most frequent word tokens across
+    the corpus with term and document frequency, ties broken by token
+    ascending.  No reference precedent (corpus statistics for
+    training-data curation, SURVEY.md §2.F).
+
+    Execution shape: explode once, ONE ``groupBy(token)`` computing
+    both frequencies (map-side combined — the shuffle carries one
+    partial row per token per partition, never the exploded tokens);
+    document frequency folds into the same aggregate via
+    ``count_distinct(id)``.  Top-k lands as TakeOrderedAndProject
+    (bounded heap per partition + driver merge of k·partitions rows),
+    NOT a global sort."""
+    from fences_spark.operators.dedup import ensure_parallelism
+
+    ex = ensure_parallelism(df, id_col).select(
+        F.col(id_col).alias("_did"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    agg = ex.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("_did").alias("df"),
+    )
+    return agg.orderBy(F.col("tf").desc(), F.col("token")).limit(k)
+
+# ---------------------------------------------------------------------------
+# training-chunk extraction (sequence prep)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, *, chunk_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk) — overlapping fixed-size
+    token windows, the standard sequence-prep step before packing
+    training batches.  Full ``chunk_tokens``-token windows start every
+    ``stride`` tokens; if the last window does not land on the final
+    token, one extra BACK-ALIGNED window ending at the last token is
+    emitted (no tail tokens are dropped).  A doc shorter than
+    ``chunk_tokens`` yields its whole text as chunk 0.  No reference
+    precedent (SURVEY.md §2.F).
+
+    Execution shape: per-row and linear — every candidate window is a
+    word k-gram from the ONE-regex-pass :func:`fences_spark.operators.
+    dedup.word_shingles`; stride selection uses the index-aware
+    ``filter((x, i) -> i % stride = 0)`` form (both index and element
+    are lambda variables, so nothing re-evaluates per element), and
+    the back-aligned tail is a single ``slice``.  O(n·chunk_tokens)
+    characters per row, then one explode."""
+    from fences_spark.operators.dedup import ensure_parallelism, word_shingles
+
+    toks = tokens(F.col(text_col))
+    n_g = F.greatest(F.size(toks) - (chunk_tokens - 1), F.lit(1))
+    g = word_shingles(toks, chunk_tokens)
+    regular = F.filter(g, lambda x, i: i % stride == 0)
+    tail = F.slice(g, n_g, 1)
+    chunks = F.when(
+        (n_g - 1) % stride == 0, regular
+    ).otherwise(F.concat(regular, tail))
+    ex = ensure_parallelism(df, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+    n_tokens = F.when(F.col("chunk") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("chunk"), " "))
+    )
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        n_tokens.alias("n_tokens"),
+        F.col("chunk"),
+    )

@@ -575,3 +575,62 @@ class TestCurate:
         assert rows[2]["reasons"].split(",") == [
             "low_quality", "repetitive", "dup_spans", "exact_dup",
         ]
+
+
+class TestTokenTopk:
+    def test_tf_df_and_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple date")],
+            "doc_id long, text string",
+        )
+        rows = TX.corpus_token_topk(df, "doc_id", "text", k=3).collect()
+        assert [(r["token"], r["tf"], r["df"]) for r in rows] == [
+            ("apple", 3, 2),   # tf 3
+            ("banana", 2, 2),  # tf 2, tie with nothing
+            ("cherry", 1, 1),  # tf 1 tie broken by token asc (cherry < date)
+        ]
+
+
+class TestChunking:
+    def test_exact_cover_no_tail(self, spark):
+        text = " ".join(f"w{i}" for i in range(1, 11))  # 10 tokens
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = TX.chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=3) \
+            .orderBy("chunk_idx").collect()
+        got = [(r["chunk_idx"], r["n_tokens"], r["chunk"]) for r in rows]
+        assert got == [
+            (0, 4, "w1 w2 w3 w4"),
+            (1, 4, "w4 w5 w6 w7"),
+            (2, 4, "w7 w8 w9 w10"),
+        ]
+
+    def test_back_aligned_tail(self, spark):
+        text = " ".join(f"w{i}" for i in range(1, 10))  # 9 tokens
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = TX.chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=3) \
+            .orderBy("chunk_idx").collect()
+        got = [(r["chunk_idx"], r["chunk"]) for r in rows]
+        assert got == [
+            (0, "w1 w2 w3 w4"),
+            (1, "w4 w5 w6 w7"),
+            (2, "w6 w7 w8 w9"),  # back-aligned: ends at the last token
+        ]
+
+    def test_short_doc_single_chunk(self, spark):
+        df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+        rows = TX.chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=3).collect()
+        assert [(r["chunk_idx"], r["n_tokens"], r["chunk"]) for r in rows] == [(0, 2, "only two")]
+
+    def test_every_token_covered(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+        ch = TX.chunk_documents(docs, "doc_id", "text", chunk_tokens=16, stride=12)
+        # reconstruct coverage: sum of (n_tokens - overlap) must reach doc length
+        agg = ch.groupBy("doc_id").agg(
+            F.max(F.col("chunk_idx")).alias("last_idx"),
+            F.sum("n_tokens").alias("tok_positions"),
+        ).collect()
+        n_tok = {r["doc_id"]: r["nt"] for r in docs.select(
+            "doc_id", TX.whitespace_token_count(F.col("text")).alias("nt")).collect()}
+        for r in agg:
+            # chunks overlap, so summed sizes >= true token count
+            assert r["tok_positions"] >= n_tok[r["doc_id"]]
