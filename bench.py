@@ -41,6 +41,9 @@ HEADLINE = [
     "curate_documents",
     "token_topk_docs",
     "chunk_docs",
+    "tfidf_topterms_docs",
+    "pack_docs",
+    "mix_quota_docs",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

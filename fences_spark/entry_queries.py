@@ -795,6 +795,120 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def q_tfidf_topterms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smooth TF-IDF top-3 terms per document (corpus-relative
+    keyword extraction), ties broken by token ascending."""
+    from fences_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+SQL_TFIDF_TOPTERMS_DOCS = """
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM ex GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf,
+         ROUND(tf * (ln((n_docs + 1) / (df + 1)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, tfidf, rank FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token)::BIGINT AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
+def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-atomic sequence packing: docs concatenated in id order
+    within 64 hash buckets, new sequence every 256 tokens."""
+    from fences_spark.operators.text import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", budget=256, buckets=64)
+
+
+SQL_PACK_DOCS = """
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))::BIGINT AS n_tokens,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 64 AS bucket
+  FROM documents
+), packed AS (
+  SELECT bucket, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM base
+)
+SELECT bucket, seq_idx,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM (SELECT bucket, doc_id, n_tokens,
+             CAST(floor(cum / 256) AS BIGINT) AS seq_idx
+      FROM packed)
+GROUP BY 1, 2
+"""
+
+
+def q_mix_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture quota: the 25 highest-quality documents per
+    language stratum (quality desc, doc_id asc tie-break)."""
+    from fences_spark.operators.sampling import quality_quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_quota_sample(docs, "doc_id", "text", "lang", quota=25)
+
+
+def _sql_mix_quota_docs() -> str:
+    """DuckDB mirror of quality_quota_sample over the lang strata —
+    the same 6-dp quality formula as the curate oracle."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), feat AS (
+  SELECT doc_id, lang, toks,
+    ROUND(CASE WHEN len(toks) > 0
+               THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+               ELSE 0.0 END, 6) AS mtl,
+    ROUND(CASE WHEN length(text) > 0
+               THEN len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text)
+               ELSE 0.0 END, 6) AS ar,
+    ROUND(CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, x -> x IN ({_SW_EN})))::DOUBLE / len(toks)
+               ELSE 0.0 END, 6) AS sr
+  FROM t
+), q AS (
+  SELECT doc_id, lang AS stratum,
+    ROUND((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN mtl >= 2.5 AND mtl <= 12 THEN 0.25 ELSE 0.0 END)
+        + least(ar / 0.7::DOUBLE, 1.0::DOUBLE) * 0.25
+        + least(sr / 0.2::DOUBLE, 1.0::DOUBLE) * 0.25, 6) AS quality
+  FROM feat
+)
+SELECT doc_id, stratum, quality, rnk FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY stratum
+                            ORDER BY quality DESC, doc_id)::BIGINT AS rnk
+  FROM q)
+WHERE rnk <= 25
+"""
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation verdict per document: quality + repetition +
     duplicate-span + exact-dedup filters → (doc_id, keep, reasons)."""
@@ -1876,6 +1990,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_documents": q_curate_documents,
     "token_topk_docs": q_token_topk_docs,
     "chunk_docs": q_chunk_docs,
+    "tfidf_topterms_docs": q_tfidf_topterms_docs,
+    "pack_docs": q_pack_docs,
+    "mix_quota_docs": q_mix_quota_docs,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_vector_stats": q_embedding_vector_stats,
@@ -1927,6 +2044,9 @@ ORACLE_SQL: dict[str, str] = {
     "curate_documents": _sql_curate_documents(),
     "token_topk_docs": SQL_TOKEN_TOPK_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,
+    "tfidf_topterms_docs": SQL_TFIDF_TOPTERMS_DOCS,
+    "pack_docs": SQL_PACK_DOCS,
+    "mix_quota_docs": _sql_mix_quota_docs(),
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_vector_stats": SQL_EMBEDDING_VECTOR_STATS,

@@ -59,3 +59,47 @@ def stratified_sample(
     for value, frac in fractions.items():
         thr = F.when(F.col(strata_col) == value, F.lit(threshold_hex(frac))).otherwise(thr)
     return df.filter(hash_bucket(F.col(key_col)) < thr)
+
+# ---------------------------------------------------------------------------
+# mixture quota sampling (per-stratum quality top-k)
+# ---------------------------------------------------------------------------
+
+
+def quality_quota_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    strata_col: str,
+    *,
+    quota: int = 50,
+) -> DataFrame:
+    """(doc_id, stratum, quality, rnk) — the ``quota`` highest-quality
+    documents per stratum (e.g. per language): the data-mixture
+    curation step that caps each source/language at a fixed budget of
+    its best documents.  No reference precedent (training-data
+    mixture, SURVEY.md §2.F).
+
+    Execution shape: quality is per-row Column algebra
+    (`operators.text.quality_score`, 6-dp rounded so ordering is
+    bit-identical cross-engine); selection is ONE window
+    ``row_number`` per stratum with a deterministic tie-break
+    (quality desc, doc_id asc) — a shuffle on the stratum key only.
+    Stratum skew (one language dominating) is the known hazard at
+    scale: the window sorts within each stratum partition, so pair
+    with AQE skew handling or pre-filter by a quality floor before
+    ranking when a stratum is orders of magnitude larger."""
+    from pyspark.sql import Window
+
+    from fences_spark.operators.text import quality_score
+
+    w = Window.partitionBy("stratum").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strata_col).alias("stratum"),
+            quality_score(F.col(text_col)).alias("quality"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= quota)
+        .select("doc_id", "stratum", "quality", "rnk")
+    )

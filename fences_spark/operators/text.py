@@ -323,3 +323,125 @@ def chunk_documents(
         n_tokens.alias("n_tokens"),
         F.col("chunk"),
     )
+
+# ---------------------------------------------------------------------------
+# TF-IDF term weighting (corpus-relative keyword extraction)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """(doc_id, token, tf, tfidf, rank) — the ``k`` highest-weighted
+    terms per document under smooth TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``), ties broken by token ascending.
+    No reference precedent (corpus statistics for training-data
+    curation, SURVEY.md §2.F).
+
+    Execution shape: explode once → ONE map-side-combined
+    ``groupBy(doc, token)`` (the tf relation); document frequency is a
+    second, much smaller aggregate OVER the tf relation (never the raw
+    exploded tokens — the heavy explode output is reduced exactly
+    once); the corpus size N is a one-row aggregate cross-joined in
+    (broadcast, no driver action).  The vocabulary join back is
+    broadcast by default (vocab ≪ corpus); pass
+    ``broadcast_vocab=False`` at vocabulary scales beyond the
+    broadcast threshold to fall back to a shuffled join.  Scores are
+    rounded to 6 dp BEFORE ranking so ordering is bit-identical
+    cross-engine (last-ulp ``ln`` differences cannot flip ranks)."""
+    from pyspark.sql import Window
+
+    from fences_spark.operators.dedup import ensure_parallelism
+
+    ex = ensure_parallelism(df, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    n_docs = F.broadcast(df.select(F.count(F.lit(1)).alias("_n")))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(n_docs)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "tfidf", "rank")
+    )
+
+# ---------------------------------------------------------------------------
+# sequence packing (document-atomic offset packing into token budgets)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    budget: int = 256,
+    buckets: int = 64,
+) -> DataFrame:
+    """(bucket, seq_idx, n_docs, seq_tokens, first_doc, last_doc) —
+    pack documents into fixed-token-budget training sequences,
+    document-atomic: concatenate docs in doc-id order within a hash
+    bucket and start a new sequence every ``budget`` tokens of the
+    concatenated stream (a doc lands in the sequence its first token
+    falls into).  No reference precedent (sequence prep for training
+    batches, SURVEY.md §2.F).
+
+    Execution shape — the scale path is the point: a single GLOBAL
+    ordered prefix sum would serialize onto one task, so docs are
+    first sharded into ``buckets`` md5 hash buckets (engine-portable
+    '0x'+hex15 convention, `operators/dedup._token_hash`) and packed
+    independently per bucket — parallelism = ``buckets`` (size it ≈
+    4× cluster cores at scale), determinism from (bucket, doc_id)
+    ordering.  Within a bucket: one window exclusive cumsum
+    (``rowsBetween(unboundedPreceding, -1)``), ``seq_idx = floor(
+    cum/budget)``, then ONE map-side-combined groupBy — a doc longer
+    than ``budget`` simply spans (never split mid-doc)."""
+    from pyspark.sql import Window
+
+    from fences_spark.operators.dedup import ensure_parallelism
+
+    base = ensure_parallelism(df, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        whitespace_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % buckets
+    ).alias("bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = base.select(bucket, "doc_id", "n_tokens").withColumn(
+        "seq_idx", F.floor(cum / budget).cast("long")
+    )
+    return packed.groupBy("bucket", "seq_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

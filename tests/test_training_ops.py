@@ -634,3 +634,96 @@ class TestChunking:
         for r in agg:
             # chunks overlap, so summed sizes >= true token count
             assert r["tok_positions"] >= n_tok[r["doc_id"]]
+
+
+class TestTfidf:
+    def test_formula_and_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry cherry")],
+            "doc_id long, text string",
+        )
+        rows = TX.tfidf_top_terms(df, "doc_id", "text", k=2).orderBy("doc_id", "rank").collect()
+        n = 3
+
+        def w(tf, dfreq):
+            return round(tf * (math.log((n + 1) / (dfreq + 1)) + 1.0), 6)
+
+        # doc 1: apple tf=2 df=1; banana tf=1 df=2
+        assert (rows[0]["token"], rows[0]["tfidf"]) == ("apple", w(2, 1))
+        assert (rows[1]["token"], rows[1]["tfidf"]) == ("banana", w(1, 2))
+        # doc 2: banana and cherry both tf=1 df=2 — tie broken token asc
+        assert [r["token"] for r in rows if r["doc_id"] == 2] == ["banana", "cherry"]
+
+    def test_shuffled_join_path_matches_broadcast(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+        a = TX.tfidf_top_terms(docs, "doc_id", "text", k=3, broadcast_vocab=True)
+        b = TX.tfidf_top_terms(docs, "doc_id", "text", k=3, broadcast_vocab=False)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestPackSequences:
+    def test_offset_packing_single_bucket(self, spark):
+        # 4 docs x 3 tokens, budget 5: exclusive cums 0,3,6,9 -> seqs 0,0,1,1
+        df = spark.createDataFrame(
+            [(i, "a b c") for i in range(4)], "doc_id long, text string"
+        )
+        rows = (
+            TX.pack_sequences(df, "doc_id", "text", budget=5, buckets=1)
+            .orderBy("seq_idx").collect()
+        )
+        got = [(r["seq_idx"], r["n_docs"], r["seq_tokens"], r["first_doc"], r["last_doc"])
+               for r in rows]
+        assert got == [(0, 2, 6, 0, 1), (1, 2, 6, 2, 3)]
+
+    def test_long_doc_spans_without_split(self, spark):
+        df = spark.createDataFrame(
+            [(1, " ".join(["t"] * 7)), (2, "a b")], "doc_id long, text string"
+        )
+        rows = (
+            TX.pack_sequences(df, "doc_id", "text", budget=5, buckets=1)
+            .orderBy("seq_idx").collect()
+        )
+        # doc 1 starts at cum 0 (seq 0) and overflows; doc 2 starts at cum 7 -> seq 1
+        assert [(r["seq_idx"], r["n_docs"], r["seq_tokens"]) for r in rows] == [
+            (0, 1, 7), (1, 1, 2),
+        ]
+
+    def test_every_doc_packed_exactly_once(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        packed = TX.pack_sequences(docs, "doc_id", "text", budget=256, buckets=8)
+        agg = packed.agg(F.sum("n_docs").alias("nd"), F.sum("seq_tokens").alias("nt")).first()
+        assert agg["nd"] == docs.count()
+        true_tokens = docs.agg(
+            F.sum(TX.whitespace_token_count(F.col("text"))).alias("t")
+        ).first()["t"]
+        assert agg["nt"] == true_tokens
+
+
+class TestQualityQuota:
+    def test_quota_and_tiebreak(self, spark):
+        from fences_spark.operators.sampling import quality_quota_sample
+
+        # same text => identical quality; tie-break selects lowest doc_id
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat today", "en"),
+             (2, "the cat sat on the mat today", "en"),
+             (3, "!!!", "en"),
+             (4, "der hund und die katze sind da", "de")],
+            "doc_id long, text string, lang string",
+        )
+        rows = quality_quota_sample(df, "doc_id", "text", "lang", quota=1).collect()
+        got = {r["stratum"]: r["doc_id"] for r in rows}
+        assert got == {"en": 1, "de": 4}
+        assert all(r["rnk"] == 1 for r in rows)
+
+    def test_quota_caps_each_stratum(self, spark):
+        from fences_spark.operators.sampling import quality_quota_sample
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = quality_quota_sample(docs, "doc_id", "text", "lang", quota=10)
+        per = {r["stratum"]: r["c"] for r in
+               out.groupBy("stratum").agg(F.count(F.lit(1)).alias("c")).collect()}
+        sizes = {r["lang"]: r["c"] for r in
+                 docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+        for lang, c in per.items():
+            assert c == min(10, sizes[lang])
