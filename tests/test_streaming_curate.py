@@ -1,0 +1,128 @@
+"""Streaming curation: watermarked exact dedup (state-bounded, with
+eviction re-admission semantics) and windowed doc stats (append-mode
+finalization + late-row drop)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+import pytest
+
+from fences_spark.streaming.curate import (
+    CurateStreamConfig,
+    start_dedup_stream,
+    start_stats_stream,
+)
+
+T0 = datetime(2026, 1, 1, 12, 0, 0)
+DOC_SCHEMA = "doc_id long, text string, ts timestamp"
+
+
+def _write(spark, src, rows):
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+
+def _drain_dedup(spark, src, cfg):
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    q = start_dedup_stream(stream, cfg, delay="1 hour")
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def _drain_stats(spark, src, cfg):
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    q = start_stats_stream(stream, cfg, window_len="10 minutes", delay="10 minutes")
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+class TestStreamingDedup:
+    @pytest.fixture(scope="class")
+    def dirs(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("sdedup")
+        return str(root / "src"), CurateStreamConfig(output_dir=str(root / "out"))
+
+    def test_first_seen_wins_within_and_across_drains(self, spark, dirs):
+        src, cfg = dirs
+        _write(spark, src, [
+            (1, "alpha text", T0),
+            (2, "beta text", T0 + timedelta(minutes=1)),
+            (3, "alpha text", T0 + timedelta(minutes=2)),   # dup of 1, same batch
+            (4, "gamma text", T0 + timedelta(minutes=3)),
+            (5, "beta text", T0 + timedelta(minutes=4)),    # dup of 2, same batch
+        ])
+        _drain_dedup(spark, src, cfg)
+        out = spark.read.parquet(cfg.dedup_path)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 4]
+
+        # second drain, same checkpoint: in-state dup dropped, new text kept
+        _write(spark, src, [
+            (6, "alpha text", T0 + timedelta(minutes=10)),  # dup, state alive
+            (7, "delta text", T0 + timedelta(minutes=11)),
+        ])
+        _drain_dedup(spark, src, cfg)
+        out = spark.read.parquet(cfg.dedup_path)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 4, 7]
+
+    def test_eviction_readmits_after_watermark_passes(self, spark, dirs):
+        src, cfg = dirs
+        # advance the watermark far past alpha's (event_time + delay)
+        _write(spark, src, [(8, "epsilon text", T0 + timedelta(hours=10))])
+        _drain_dedup(spark, src, cfg)
+        # alpha's state (expires T0+1h) is now evicted -> re-admitted
+        _write(spark, src, [(9, "alpha text", T0 + timedelta(hours=10, minutes=1))])
+        _drain_dedup(spark, src, cfg)
+        ids = sorted(
+            r["doc_id"] for r in spark.read.parquet(cfg.dedup_path).collect()
+        )
+        assert ids == [1, 2, 4, 7, 8, 9]
+
+
+class TestWindowedStats:
+    def test_append_finalization_and_late_drop(self, spark, tmp_path_factory):
+        root = tmp_path_factory.mktemp("sstats")
+        src = str(root / "src")
+        cfg = CurateStreamConfig(output_dir=str(root / "out"))
+
+        w1 = [  # window [12:00, 12:10)
+            (1, "the quick brown fox jumps over the lazy dog", T0 + timedelta(minutes=1)),
+            (2, "a window that is full of reasonable text", T0 + timedelta(minutes=4)),
+            (3, "more text for the first window here", T0 + timedelta(minutes=8)),
+        ]
+        w2 = [  # window [12:10, 12:20)
+            (4, "second window document text", T0 + timedelta(minutes=11)),
+            (5, "another second window document", T0 + timedelta(minutes=12)),
+        ]
+        _write(spark, src, w1 + w2)
+        _drain_stats(spark, src, cfg)  # watermark after: 12:12 - 10m = 12:02
+
+        # a row older than the watermark but in a STILL-OPEN window is
+        # accepted (Spark drops rows only once their window is closed),
+        # so first advance the watermark past both windows...
+        flush = (7, "far future row advancing the watermark", T0 + timedelta(minutes=40))
+        _write(spark, src, [flush])
+        _drain_stats(spark, src, cfg)  # watermark -> 12:30; W1+W2 finalized
+
+        # ...then a row for the now-closed first window: dropped entirely
+        late = (6, "late row for the first window", T0 + timedelta(minutes=1, seconds=30))
+        _write(spark, src, [late])
+        _drain_stats(spark, src, cfg)
+
+        out = {
+            r["w_start"]: (r["n_docs"], r["mean_quality"])
+            for r in spark.read.parquet(cfg.stats_path).collect()
+        }
+        # both early windows finalized exactly once, late row NOT counted,
+        # the 12:40 window still open (not emitted)
+        assert set(out) == {T0 + timedelta(minutes=0), T0 + timedelta(minutes=10)}
+        assert out[T0][0] == 3
+        assert out[T0 + timedelta(minutes=10)][0] == 2
+
+        # mean quality matches the batch formula over the on-time rows
+        from fences_spark.operators.text import quality_score
+
+        batch = spark.createDataFrame(w1, DOC_SCHEMA).agg(
+            F.round(F.avg(quality_score(F.col("text"))), 6).alias("q")
+        ).first()["q"]
+        assert out[T0][1] == batch
