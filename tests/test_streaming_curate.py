@@ -8,6 +8,7 @@ from datetime import datetime, timedelta
 
 import pyspark.sql.functions as F
 import pytest
+from pyspark.sql.window import Window
 
 from fences_spark.streaming.curate import (
     CurateStreamConfig,
@@ -126,3 +127,65 @@ class TestWindowedStats:
             F.round(F.avg(quality_score(F.col("text"))), 6).alias("q")
         ).first()["q"]
         assert out[T0][1] == batch
+
+
+class TestStatefulRunningStats:
+    def test_cumulative_totals_across_drains(self, spark, tmp_path_factory):
+        from fences_spark.operators.text import quality_score, whitespace_token_count
+        from fences_spark.streaming.stateful import (
+            StatefulStreamConfig,
+            start_running_stats_stream,
+        )
+
+        root = tmp_path_factory.mktemp("sstate")
+        src = str(root / "src")
+        cfg = StatefulStreamConfig(output_dir=str(root / "out"))
+
+        b1 = [
+            (1, "the quick brown fox jumps over the dog", "en", T0),
+            (2, "a second english document with plain text", "en", T0),
+            (3, "der hund und die katze sind gute tiere", "de", T0),
+        ]
+        b2 = [
+            (4, "one more english document for the running total", "en", T0),
+        ]
+        schema = "doc_id long, text string, lang string, ts timestamp"
+
+        def drain():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = start_running_stats_stream(stream, cfg)
+            q.awaitTermination(120)
+            assert not q.isActive
+
+        spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+        drain()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        drain()
+
+        out = spark.read.parquet(cfg.stats_path)
+        latest = {
+            r["stratum"]: r
+            for r in out.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("stratum").orderBy(F.col("epoch_id").desc())
+                ),
+            ).filter(F.col("rn") == 1).collect()
+        }
+
+        # batch ground truth over ALL rows seen so far
+        full = spark.createDataFrame(b1 + b2, schema)
+        truth = {
+            r["lang"]: r
+            for r in full.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(whitespace_token_count(F.col("text"))).alias("n_tokens"),
+                F.round(F.avg(quality_score(F.col("text"))), 6).alias("mq"),
+            ).collect()
+        }
+        for lang in ("en", "de"):
+            assert latest[lang]["n_docs"] == truth[lang]["n_docs"]
+            assert latest[lang]["n_tokens"] == truth[lang]["n_tokens"]
+            assert abs(latest[lang]["mean_quality"] - truth[lang]["mq"]) < 1e-9
+        # de untouched by drain 2: its only row came from epoch of drain 1
+        assert latest["de"]["n_docs"] == 1
