@@ -49,10 +49,15 @@ def json_eval_udf(schema: SchemaType) -> Any:
     once per task, not per row; execution is one Python call per
     Arrow batch."""
     schema_blob = json.dumps(schema)
+    # snapshot the x- keyword plugin registry HERE, on the driver — the
+    # executor worker that runs this UDF has an empty registry
+    from fences_spark.compiler.plugins import snapshot
+
+    plugins = snapshot()
 
     @F.pandas_udf("boolean")
     def _eval(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        ev = Evaluator(json.loads(schema_blob))
+        ev = Evaluator(json.loads(schema_blob), plugins=plugins)
         for s in batches:
             def one(x: Any) -> bool:
                 if x is None:

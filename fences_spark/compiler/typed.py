@@ -248,6 +248,12 @@ class TypedCompiler:
             if k in s:
                 raise CompileError(f"keyword {k} not supported in typed compile")
 
+        # ---- registered x- plugin keywords (compiler/plugins.py) ----
+        from fences_spark.compiler.plugins import registered_in
+
+        for plugin in registered_in(s):
+            preds.append(plugin.column_pred(s[plugin.keyword], col, dtype))
+
         return _all(preds)
 
     # -- helpers -------------------------------------------------------

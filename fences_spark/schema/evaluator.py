@@ -201,8 +201,17 @@ class Evaluator:
 
     MAX_DEPTH = 64
 
-    def __init__(self, root: SchemaType):
+    def __init__(self, root: SchemaType, plugins: dict | None = None):
         self.root = root
+        # freeze the plugin registry into this instance: on the driver
+        # the current registry is snapshotted; executor-side
+        # constructors (inside UDFs) must pass the snapshot captured in
+        # the UDF closure at compile time — their own registry is empty
+        if plugins is None:
+            from fences_spark.compiler.plugins import snapshot
+
+            plugins = snapshot()
+        self._plugins = plugins
 
     # -- $ref resolution (local JSON pointers only, like the
     # reference's JsonPointer, fences/json_schema/json_pointer.py:5-57)
@@ -263,6 +272,15 @@ class Evaluator:
         # unevaluated* keywords and for its caller (in-place merge)
         ev_props: set = set()
         ev_items: set = set()
+
+        # x- plugin keywords snapshotted at construction
+        # (compiler/plugins.py): pure assertions — no annotations, no
+        # descent into children
+        if self._plugins:
+            for k in s:
+                plugin = self._plugins.get(k)
+                if plugin is not None and not plugin.py_pred(s[k], v):
+                    return False, _none, _none
 
         if "$ref" in s:
             ok, p, i = self._validate(v, self._resolve_ref(s["$ref"]), dep)
