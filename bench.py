@@ -44,6 +44,8 @@ HEADLINE = [
     "tfidf_topterms_docs",
     "pack_docs",
     "mix_quota_docs",
+    "asof_click_purchase",
+    "range_view_error",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -795,6 +795,85 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click event annotated with the user's most
+    recent purchase at or before the click (ts + value), NULLs when
+    the user never purchased before."""
+    from fences_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id", "value"],
+        prefix="p_",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("p_ts"),
+        F.col("p_event_id"),
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
+SQL_ASOF_CLICK_PURCHASE = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS p_ts, r.event_id AS p_event_id, ROUND(r.value, 6) AS p_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_range_view_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: view events landing inside any same-user error
+    incident window (error ts ± 30 minutes) — one row per
+    (view, incident) pair."""
+    from fences_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    return range_join(
+        views,
+        incidents,
+        keys=["user_id"],
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        value_cols=["err_id"],
+        bucket_seconds=60,
+    )
+
+
+SQL_RANGE_VIEW_ERROR = """
+SELECT v.event_id, v.user_id, v.ts,
+       e.ts - INTERVAL 30 MINUTE AS i_w_start,
+       e.ts + INTERVAL 30 MINUTE AS i_w_end,
+       e.event_id AS i_err_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON v.user_id = e.user_id
+ AND v.ts >= e.ts - INTERVAL 30 MINUTE
+ AND v.ts <= e.ts + INTERVAL 30 MINUTE
+"""
+
+
 def q_tfidf_topterms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smooth TF-IDF top-3 terms per document (corpus-relative
     keyword extraction), ties broken by token ascending."""
@@ -1993,6 +2072,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topterms_docs": q_tfidf_topterms_docs,
     "pack_docs": q_pack_docs,
     "mix_quota_docs": q_mix_quota_docs,
+    "asof_click_purchase": q_asof_click_purchase,
+    "range_view_error": q_range_view_error,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_vector_stats": q_embedding_vector_stats,
@@ -2047,6 +2128,8 @@ ORACLE_SQL: dict[str, str] = {
     "tfidf_topterms_docs": SQL_TFIDF_TOPTERMS_DOCS,
     "pack_docs": SQL_PACK_DOCS,
     "mix_quota_docs": _sql_mix_quota_docs(),
+    "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
+    "range_view_error": SQL_RANGE_VIEW_ERROR,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_vector_stats": SQL_EMBEDDING_VECTOR_STATS,

@@ -1,0 +1,158 @@
+"""Temporal join operators Spark's DataFrame API lacks: as-of join
+(most recent right row at or before each left timestamp).  No
+reference precedent (the reference joins nothing — SURVEY.md §2.B
+joins row); named explicitly by the task brief as a custom-operator
+target.
+
+Execution shape — the point is avoiding both the naive theta-join
+(``l.ts >= r.ts`` explodes to a cross product per key before the
+argmax) and a per-key Python loop: tag and UNION the two inputs,
+ONE hash shuffle on the join keys, sort each partition by
+``(ts, tag, payload)``, and carry the last non-null right payload
+forward with ``last(ignorenulls=True)`` over the running window —
+O(n log n) per key, all codegen (Window + UnionExec), no UDF.
+Equal-timestamp ties: right rows sort before left rows at the same
+``ts`` (tag 0 < 1, "at or before" inclusive semantics), and among
+several right rows at the same ``(keys, ts)`` the MAXIMUM payload
+struct wins (payload is the tertiary sort key) — deterministic
+cross-engine.  Skew note: one hyperactive key serializes that key's
+sort; pre-split hot keys by time-bucketing both sides (bounded
+staleness at bucket edges) when a key exceeds partition budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    prefix: str = "r_",
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row annotated with the
+    ``value_cols`` of the ``right`` row sharing ``keys`` that has the
+    greatest ``right_ts`` <= ``left_ts`` (NULLs when no such row).
+    The matched timestamp lands in ``{prefix}{right_ts}``.
+
+    ``tolerance``: optional max staleness (an INTERVAL Column, e.g.
+    ``F.expr("INTERVAL 7 DAYS")``) — matches older than
+    ``left_ts - tolerance`` become NULL."""
+    payload = F.struct(
+        F.col(right_ts).alias("_ts"), *[F.col(c) for c in value_cols]
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_tag"),
+        payload.alias("_payload"),
+    )
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
+    )
+    r = r.withColumn("_row", F.lit(None).cast(l.schema["_row"].dataType))
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_t", "_tag", "_payload")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = F.last("_payload", ignorenulls=True).over(w)
+    out = (
+        l.unionByName(r.select(*l.columns))
+        .withColumn("_m", matched)
+        .filter(F.col("_tag") == 1)
+    )
+    if tolerance is not None:
+        out = out.withColumn(
+            "_m",
+            F.when(F.col("_m._ts") >= F.col("_t") - tolerance, F.col("_m")),
+        )
+    return out.select(
+        *[F.col(f"_row.{c}").alias(c) for c in left.columns],
+        F.col("_m._ts").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in value_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    keys: list[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    value_cols: list[str],
+    prefix: str = "i_",
+    bucket_seconds: int = 60,
+) -> DataFrame:
+    """Interval-containment join: one output row per (point, interval)
+    pair sharing ``keys`` with ``start_ts <= point_ts <= end_ts``.
+
+    Execution shape — Spark would otherwise plan the range predicate
+    as a per-key theta join (every point × every interval of the key
+    before filtering): intervals are exploded onto the fixed
+    ``bucket_seconds`` time grid they overlap, points land on their
+    single grid cell, and the join becomes a plain EQUI-join on
+    (keys, bucket) + an exact containment filter — each true pair
+    meets in exactly one bucket (the point's), so no dedup pass is
+    needed.  Cost knob: interval rows duplicate ~(length/bucket) ×,
+    candidate pairs shrink by the same factor — size the bucket near
+    the median interval length.  All codegen: sequence + explode +
+    shuffled hash join, no UDF.
+
+    Intervals with ``start_ts > end_ts`` are dropped (a descending
+    ``sequence`` would otherwise fabricate buckets).
+    """
+    wus = int(bucket_seconds) * 1_000_000
+
+    def _micros(c: Column) -> Column:
+        # unix_micros rejects TIMESTAMP_NTZ (parquet default); the
+        # session zone is pinned UTC, so the cast is wall-clock identity
+        return F.unix_micros(c.cast("timestamp"))
+
+    iv = (
+        intervals.filter(F.col(start_ts) <= F.col(end_ts))
+        .select(
+            *[F.col(k).alias(f"_k_{k}") for k in keys],
+            F.col(start_ts).alias("_start"),
+            F.col(end_ts).alias("_end"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        )
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(_micros(F.col("_start")) / wus),
+                    F.floor(_micros(F.col("_end")) / wus),
+                )
+            ),
+        )
+    )
+    pt = points.withColumn("_b", F.floor(_micros(F.col(point_ts)) / wus))
+    cond = (pt["_b"] == iv["_b"])
+    for k in keys:
+        cond = cond & (pt[k] == iv[f"_k_{k}"])
+    return (
+        pt.join(iv, cond)
+        .filter(
+            (F.col(point_ts) >= F.col("_start")) & (F.col(point_ts) <= F.col("_end"))
+        )
+        .select(
+            *points.columns,
+            F.col("_start").alias(f"{prefix}{start_ts}"),
+            F.col("_end").alias(f"{prefix}{end_ts}"),
+            *[F.col(f"{prefix}{c}") for c in value_cols],
+        )
+    )

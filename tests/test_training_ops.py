@@ -727,3 +727,117 @@ class TestQualityQuota:
                  docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
         for lang, c in per.items():
             assert c == min(10, sizes[lang])
+
+
+class TestAsofJoin:
+    def _tables(self, spark):
+        from datetime import datetime
+        t = lambda m: datetime(2026, 1, 1, 12, m)
+        left = spark.createDataFrame(
+            [(1, 100, t(10)), (2, 100, t(20)), (3, 200, t(5)), (4, 300, t(30))],
+            "lid long, k long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(11, 100, t(8), 1.0), (12, 100, t(20), 2.0), (13, 200, t(6), 3.0)],
+            "rid long, k long, ts timestamp, v double",
+        )
+        return left, right, t
+
+    def test_backward_inclusive_and_no_match(self, spark):
+        from fences_spark.operators.joins import asof_join
+
+        left, right, t = self._tables(spark)
+        out = {r["lid"]: (r["r_rid"], r["r_ts"]) for r in asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="ts",
+            value_cols=["rid", "v"],
+        ).collect()}
+        assert out[1] == (11, t(8))     # latest at-or-before 12:10
+        assert out[2] == (12, t(20))    # equal ts: inclusive
+        assert out[3] == (None, None)   # right row is later -> no match
+        assert out[4] == (None, None)   # key never on the right
+
+    def test_equal_ts_tie_takes_max_payload(self, spark):
+        from datetime import datetime
+        from fences_spark.operators.joins import asof_join
+
+        t0 = datetime(2026, 1, 1)
+        left = spark.createDataFrame([(1, 1, t0)], "lid long, k long, ts timestamp")
+        right = spark.createDataFrame(
+            [(7, 1, t0, 1.0), (9, 1, t0, 2.0), (8, 1, t0, 3.0)],
+            "rid long, k long, ts timestamp, v double",
+        )
+        row = asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="ts",
+            value_cols=["rid", "v"],
+        ).first()
+        assert row["r_rid"] == 9  # max payload struct among equal ts
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        from fences_spark.operators.joins import asof_join
+
+        left, right, t = self._tables(spark)
+        out = {r["lid"]: r["r_rid"] for r in asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="ts",
+            value_cols=["rid", "v"], tolerance=F.expr("INTERVAL 1 MINUTE"),
+        ).collect()}
+        assert out[1] is None           # 12:08 older than 12:10 - 1min
+        assert out[2] == 12             # exact-ts match within tolerance
+
+
+class TestRangeJoin:
+    def test_containment_bounds_and_bucket_spanning(self, spark):
+        from datetime import datetime
+        from fences_spark.operators.joins import range_join
+
+        t = lambda m, s=0: datetime(2026, 1, 1, 12, m, s)
+        points = spark.createDataFrame(
+            [(1, 1, t(0)), (2, 1, t(5)), (3, 1, t(10)), (4, 1, t(10, 1)), (5, 2, t(5))],
+            "pid long, k long, ts timestamp",
+        )
+        # one interval spanning many 60s buckets: [12:00, 12:10]
+        intervals = spark.createDataFrame(
+            [(100, 1, t(0), t(10))],
+            "iid long, k long, s timestamp, e timestamp",
+        )
+        out = range_join(
+            points, intervals, keys=["k"], point_ts="ts",
+            start_ts="s", end_ts="e", value_cols=["iid"], bucket_seconds=60,
+        )
+        got = sorted(r["pid"] for r in out.collect())
+        # 1: at start (inclusive); 2: inside; 3: at end (inclusive);
+        # 4: one second past the end -> out; 5: wrong key -> out
+        assert got == [1, 2, 3]
+        # exactly one row per matching pair (no bucket-duplicate pairs)
+        assert out.count() == 3
+
+    def test_invalid_intervals_dropped(self, spark):
+        from datetime import datetime
+        from fences_spark.operators.joins import range_join
+
+        t = lambda m: datetime(2026, 1, 1, 12, m)
+        points = spark.createDataFrame([(1, 1, t(5))], "pid long, k long, ts timestamp")
+        intervals = spark.createDataFrame(
+            [(100, 1, t(10), t(0))],  # start > end
+            "iid long, k long, s timestamp, e timestamp",
+        )
+        out = range_join(
+            points, intervals, keys=["k"], point_ts="ts",
+            start_ts="s", end_ts="e", value_cols=["iid"],
+        )
+        assert out.count() == 0
+
+    def test_overlapping_intervals_yield_all_pairs(self, spark):
+        from datetime import datetime
+        from fences_spark.operators.joins import range_join
+
+        t = lambda m: datetime(2026, 1, 1, 12, m)
+        points = spark.createDataFrame([(1, 1, t(5))], "pid long, k long, ts timestamp")
+        intervals = spark.createDataFrame(
+            [(100, 1, t(0), t(10)), (200, 1, t(4), t(6))],
+            "iid long, k long, s timestamp, e timestamp",
+        )
+        out = range_join(
+            points, intervals, keys=["k"], point_ts="ts",
+            start_ts="s", end_ts="e", value_cols=["iid"],
+        )
+        assert sorted(r["i_iid"] for r in out.collect()) == [100, 200]
