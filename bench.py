@@ -46,6 +46,7 @@ HEADLINE = [
     "mix_quota_docs",
     "asof_click_purchase",
     "range_view_error",
+    "sessionize_events",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -833,6 +833,52 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
 """
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user activity sessions with a 30-minute
+    inactivity gap, via Spark's built-in ``session_window`` (dynamic
+    merging session windows — one shuffle on user_id).  Session end =
+    last event + gap; an event at EXACTLY prev + gap merges (strict-gap
+    split, pinned against the gaps-and-islands oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       MIN(ts) AS s_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_range_view_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: view events landing inside any same-user error
     incident window (error ts ± 30 minutes) — one row per
@@ -2074,6 +2120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_quota_docs": q_mix_quota_docs,
     "asof_click_purchase": q_asof_click_purchase,
     "range_view_error": q_range_view_error,
+    "sessionize_events": q_sessionize_events,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_vector_stats": q_embedding_vector_stats,
@@ -2130,6 +2177,7 @@ ORACLE_SQL: dict[str, str] = {
     "mix_quota_docs": _sql_mix_quota_docs(),
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
     "range_view_error": SQL_RANGE_VIEW_ERROR,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_vector_stats": SQL_EMBEDDING_VECTOR_STATS,

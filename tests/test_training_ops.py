@@ -841,3 +841,25 @@ class TestRangeJoin:
             start_ts="s", end_ts="e", value_cols=["iid"],
         )
         assert sorted(r["i_iid"] for r in out.collect()) == [100, 200]
+
+
+class TestSessionWindows:
+    def test_strict_gap_split_and_end_extension(self, spark):
+        from datetime import datetime, timedelta
+        t = lambda m: datetime(2026, 1, 1, 12, m)
+        df = spark.createDataFrame(
+            # exactly-30min successor merges; 31min successor splits
+            [(1, t(0)), (1, t(30)), (2, t(0)), (2, t(31))],
+            "user_id long, ts timestamp",
+        )
+        out = {
+            (r["user_id"], r["s_start"]): (r["s_end"], r["n"])
+            for r in df.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("w")
+            ).agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", F.col("w.start").alias("s_start"),
+                    F.col("w.end").alias("s_end"), "n").collect()
+        }
+        assert out[(1, t(0))] == (t(0) + timedelta(hours=1), 2)   # merged
+        assert out[(2, t(0))] == (t(30), 1)                        # split
+        assert out[(2, t(31))] == (t(31) + timedelta(minutes=30), 1)
