@@ -58,6 +58,9 @@ HEADLINE = [
     "multimodal_frames",
     "generate_confusion_fixtures",
     "validate_files_200k",
+    "decontaminate_docs",
+    "redact_docs",
+    "shuffle_shard_docs",
 ]
 
 

@@ -903,7 +903,10 @@ def q_range_view_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_ts="w_start",
         end_ts="w_end",
         value_cols=["err_id"],
-        bucket_seconds=60,
+        # size the grid at the (fixed, 1h) interval length: each
+        # interval lands on ≤2 buckets instead of 61 with a 60s grid
+        # (measured 7× wall at sf0.1 — see operators/joins.py)
+        bucket_seconds=3600,
     )
 
 
@@ -2077,6 +2080,133 @@ WHERE i <= least(7, greatest(duration_ms // 10000 - 1, 0))
 """
 
 
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-5-gram with the held-out eval split (a deterministic 5%
+    hash split of the corpus stands in for the benchmark set)."""
+    from fences_spark.operators.curate import decontaminate
+    from fences_spark.operators.sampling import hash_bucket, threshold_hex
+
+    docs = _t(spark, sf_dir, "documents")
+    is_eval = hash_bucket(F.col("doc_id")) < F.lit(threshold_hex(0.05))
+    return decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text", k=5
+    )
+
+
+SQL_DECONTAMINATE_DOCS = """
+WITH split AS (
+  SELECT doc_id, text,
+         substring(md5(doc_id::VARCHAR), 1, 4) < '0ccc' AS is_eval
+  FROM documents
+), toks AS (
+  SELECT doc_id, is_eval,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM split
+), grams AS (
+  SELECT doc_id, is_eval,
+         unnest(list_distinct(CASE WHEN len(t) >= 5
+                     THEN list_transform(range(1, len(t) - 3),
+                                         i -> array_to_string(t[i:i+4], ' '))
+                     ELSE [array_to_string(t, ' ')] END)) AS gram
+  FROM toks
+), hashed AS (
+  SELECT doc_id, is_eval, ('0x' || substring(md5(gram), 1, 15))::BIGINT AS h FROM grams
+), ev AS (
+  SELECT DISTINCT h FROM hashed WHERE is_eval
+)
+SELECT t.doc_id,
+       COUNT(*)::BIGINT AS total_grams,
+       SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hit_grams,
+       SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+FROM hashed t LEFT JOIN ev ON t.h = ev.h
+WHERE NOT t.is_eval
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def q_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/secret scrub report over a deterministically enriched text
+    column (the raw corpus is synthetic word soup with nothing to
+    redact, so emails / IPv4s / hex secrets are planted as a pure
+    function of doc_id — identically derivable by the oracle)."""
+    from fences_spark.operators.text import redact_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    enriched = F.concat(
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" contact user"), s(did), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" from 10."), s(did % 200), F.lit(".3."), s(did % 250)),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" secret "), F.md5(F.concat(F.lit("tok"), s(did)))),
+        ).otherwise(F.lit("")),
+    )
+    return redact_documents(
+        docs.select("doc_id", enriched.alias("text")), "doc_id", "text"
+    )
+
+
+SQL_REDACT_DOCS = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' from 10.' || (doc_id % 200)::VARCHAR || '.3.' || (doc_id % 250)::VARCHAR
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' secret ' || md5('tok' || doc_id::VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::INT AS n_email,
+       len(regexp_extract_all(text, '\b\d{1,3}(?:\.\d{1,3}){3}\b'))::INT AS n_ipv4,
+       len(regexp_extract_all(text, '\b[0-9a-f]{32}\b'))::INT AS n_hex_secret,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IP>', 'g'),
+           '\b[0-9a-f]{32}\b', '<SECRET>', 'g')) AS redacted_digest
+FROM enriched
+ORDER BY doc_id
+"""
+
+
+def q_shuffle_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: hash-shard the corpus
+    into 8 shards with a reproducible total order inside each."""
+    from fences_spark.operators.sampling import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "doc_id", n_shards=8).orderBy("doc_id")
+
+
+SQL_SHUFFLE_SHARD_DOCS = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('shuf42#' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id,
+       (h % 8)::INT AS shard,
+       row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)::INT AS rnk
+FROM h
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
@@ -2132,6 +2262,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_docs": q_langid_docs,
     "validate_files_200k": q_validate_files_200k,
     "generate_confusion_fixtures": q_generate_confusion_fixtures,
+    "decontaminate_docs": q_decontaminate_docs,
+    "redact_docs": q_redact_docs,
+    "shuffle_shard_docs": q_shuffle_shard_docs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2169,6 +2302,9 @@ ORACLE_SQL: dict[str, str] = {
     "dup_span_docs": SQL_DUP_SPAN_DOCS,
     "winnow_docs": SQL_WINNOW_DOCS,
     "repetition_docs": SQL_REPETITION_DOCS,
+    "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
+    "redact_docs": SQL_REDACT_DOCS,
+    "shuffle_shard_docs": SQL_SHUFFLE_SHARD_DOCS,
     "curate_documents": _sql_curate_documents(),
     "token_topk_docs": SQL_TOKEN_TOPK_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,

@@ -103,3 +103,65 @@ def curate_documents(
     return j.select(
         "doc_id", keep.alias("keep"), reasons.alias("reasons")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train ∩ eval k-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Per-train-document benchmark-contamination signal: for each
+    training document, how many of its distinct word ``k``-grams also
+    appear anywhere in the held-out ``eval_set`` corpus — the
+    decontamination filter every pretraining pipeline runs before
+    training (drop/flag documents that leak evaluation data; see e.g.
+    the n-gram overlap checks of GPT-3 appx. C / PaLM / Llama).  No
+    reference precedent (SURVEY.md §2.F).
+
+    Returns (doc_id, total_grams, hit_grams, contaminated), one row
+    per train document, ordered by id.
+
+    Execution shape: both corpora shingle through the same one-pass
+    regex shingler (`dedup.word_shingles`) and carry grams as 60-bit
+    md5 longs.  The eval gram set is DISTINCT'd then **broadcast** —
+    benchmarks are fixed-size (MBs) while the train corpus is the
+    100 TB side, so the probe is a map-side hash lookup with zero
+    shuffle of train grams; the only shuffle is the final
+    groupBy(doc_id) fold, map-side combined.  If the eval side ever
+    outgrows the broadcast threshold, drop the hint and AQE plans a
+    shuffled hash join on the 8-byte gram key.
+    """
+    from fences_spark.operators.dedup import _token_hash, exploded_shingles
+
+    tg = exploded_shingles(train, id_col, text_col, k).select(
+        "doc_id", _token_hash(F.col("shingle")).alias("h")
+    )
+    eg = (
+        exploded_shingles(eval_set, id_col, text_col, k)
+        .select(_token_hash(F.col("shingle")).alias("h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        tg.join(F.broadcast(eg), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hit_grams"),
+        )
+        .select(
+            "doc_id",
+            "total_grams",
+            "hit_grams",
+            (F.col("hit_grams") > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -103,3 +103,45 @@ def quality_quota_sample(
         .filter(F.col("rnk") <= quota)
         .select("doc_id", "stratum", "quality", "rnk")
     )
+
+# ---------------------------------------------------------------------------
+# deterministic training-order shuffle (shard + intra-shard rank)
+# ---------------------------------------------------------------------------
+
+
+def shuffle_shards(
+    df: DataFrame, key_col: str, *, n_shards: int = 8, salt: str = "shuf42"
+) -> DataFrame:
+    """(doc_id, shard, rnk) — a reproducible global shuffle of the
+    corpus into ``n_shards`` training shards with a total order inside
+    each shard: the "shuffle the data before training" step, made a
+    pure function of (salt, key) so any engine — and any re-run after
+    resume — derives the identical order.  No reference precedent
+    (the reference's randomness is generation-side, core/random.py;
+    SURVEY.md §2.F).
+
+    Execution shape: the sort key is a 60-bit md5 long of
+    ``salt#key``; shard = hash % n_shards, rank = row_number per
+    shard ordered by (hash, key).  ONE shuffle on the shard id; each
+    shard sorts independently in its own task, so parallelism — and
+    max shard size — is set by ``n_shards``: at 10^12 rows raise
+    n_shards until a shard fits a task (shards are hash-balanced by
+    construction).  Writing shard-partitioned output preserves the
+    rank order as the training stream order.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "#"), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        df.select(F.col(key_col).alias("doc_id"), h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+        .withColumn("rnk", F.row_number().over(w))
+        .select("doc_id", "shard", "rnk")
+    )

@@ -445,3 +445,61 @@ def pack_sequences(
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / secret scrubbing (pattern scan + redaction)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the syntax subset that Java regex (Spark
+# `regexp_count`/`regexp_replace`) and RE2 (the DuckDB oracle) parse
+# AND match identically: ASCII classes, \b word boundaries, bounded /
+# open repetition, non-capturing groups.  Order matters for
+# redaction: emails first (their domains contain dots that the ipv4
+# pattern must never see), then ipv4, then bare hex secrets.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "<IP>"),
+    ("hex_secret", r"\b[0-9a-f]{32}\b", "<SECRET>"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-pattern match counts on the ORIGINAL text (each pattern
+    counted independently, before any replacement)."""
+    return {
+        name: F.regexp_count(text, F.lit(pat)) for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact(text: Column) -> Column:
+    """Replace every PII match with its placeholder, applying the
+    patterns in `PII_PATTERNS` order (sequential `regexp_replace`,
+    global per pattern — all JVM codegen, no UDF)."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, n_email, n_ipv4, n_hex_secret, redacted_digest) — the
+    per-document PII scrub report a curation pipeline emits before
+    releasing training data.  The redacted text itself is folded to
+    its md5 digest so the full output stays value-hash comparable;
+    callers wanting the scrubbed column use :func:`redact` directly.
+    No reference precedent (SURVEY.md §2.F).
+
+    Execution shape: pure per-row Column algebra — narrow projection
+    over the scan, whole-stage codegen, zero shuffles (the orderBy is
+    presentation-only at the sink).
+    """
+    t = F.col(text_col)
+    counts = pii_counts(t)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["hex_secret"].alias("n_hex_secret"),
+        F.md5(redact(t).cast("binary")).alias("redacted_digest"),
+    ).orderBy("doc_id")

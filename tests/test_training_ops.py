@@ -863,3 +863,110 @@ class TestSessionWindows:
         assert out[(1, t(0))] == (t(0) + timedelta(hours=1), 2)   # merged
         assert out[(2, t(0))] == (t(30), 1)                        # split
         assert out[(2, t(31))] == (t(31) + timedelta(minutes=30), 1)
+
+
+class TestDecontaminate:
+    def test_planted_leak_is_flagged(self, spark):
+        from fences_spark.operators.curate import decontaminate
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+        eval_set = docs.limit(3)
+        # train = one verbatim copy of an eval doc (leak) + one disjoint doc
+        leak = eval_set.limit(1).select(F.lit(900001).alias("doc_id"), "text")
+        clean = spark.createDataFrame(
+            [(900002, "qqq www eee rrr ttt yyy uuu iii ooo ppp")], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in decontaminate(
+                leak.unionByName(clean), eval_set, "doc_id", "text", k=5
+            ).collect()
+        }
+        assert out[900001]["contaminated"] is True
+        assert out[900001]["hit_grams"] == out[900001]["total_grams"]
+        assert out[900002]["contaminated"] is False
+        assert out[900002]["hit_grams"] == 0
+
+    def test_one_row_per_train_doc(self, spark):
+        from fences_spark.operators.curate import decontaminate
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+        train, ev = docs.filter("doc_id % 10 != 0"), docs.filter("doc_id % 10 = 0")
+        out = decontaminate(train, ev, "doc_id", "text")
+        assert out.count() == train.count()
+
+
+class TestRedact:
+    def test_known_strings(self, spark):
+        from fences_spark.operators.text import PII_PATTERNS, pii_counts, redact
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at jo.doe+x@corp.io or root@10.2.3.44 now"),
+                (2, "key " + "a1" * 16 + " leaked, also 192.168.0.1"),
+                (3, "nothing here"),
+            ],
+            ["doc_id", "text"],
+        )
+        t = F.col("text")
+        c = pii_counts(t)
+        rows = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id",
+                c["email"].alias("e"),
+                c["ipv4"].alias("i"),
+                c["hex_secret"].alias("h"),
+                redact(t).alias("red"),
+            ).collect()
+        }
+        assert (rows[1]["e"], rows[1]["i"], rows[1]["h"]) == (1, 1, 0)
+        assert "<EMAIL>" in rows[1]["red"] and "<IP>" in rows[1]["red"]
+        assert "jo.doe" not in rows[1]["red"] and "10.2.3.44" not in rows[1]["red"]
+        assert (rows[2]["e"], rows[2]["i"], rows[2]["h"]) == (0, 1, 1)
+        assert "<SECRET>" in rows[2]["red"] and "a1a1" not in rows[2]["red"]
+        assert rows[3]["red"] == "nothing here"
+        assert len(PII_PATTERNS) == 3
+
+    def test_email_domain_not_double_matched_as_ip(self, spark):
+        from fences_spark.operators.text import redact
+
+        df = spark.createDataFrame(
+            [(1, "x u@10.0.0.7 y"), (2, "x u@ten.example.com z 1.2.3.4")],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r["r"]
+                for r in df.select("doc_id", redact(F.col("text")).alias("r")).collect()}
+        # a dotted-quad "domain" has no alpha TLD, so it is NOT an
+        # email — the ipv4 pass redacts it instead
+        assert rows[1] == "x u@<IP> y"
+        # a real email is consumed whole by the first pass; a separate
+        # bare IP in the same row still redacts
+        assert rows[2] == "x <EMAIL> z <IP>"
+
+
+class TestShuffleShards:
+    def test_deterministic_and_complete(self, spark):
+        from fences_spark.operators.sampling import shuffle_shards
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        a = shuffle_shards(docs, "doc_id", n_shards=4).collect()
+        b = shuffle_shards(docs.repartition(13), "doc_id", n_shards=4).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) == docs.count()
+        by_shard: dict[int, list[int]] = {}
+        for r in a:
+            by_shard.setdefault(r["shard"], []).append(r["rnk"])
+        assert set(by_shard) == {0, 1, 2, 3}
+        for ranks in by_shard.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    def test_salt_changes_order(self, spark):
+        from fences_spark.operators.sampling import shuffle_shards
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        a = {(r["doc_id"], r["shard"], r["rnk"])
+             for r in shuffle_shards(docs, "doc_id", salt="s1").collect()}
+        b = {(r["doc_id"], r["shard"], r["rnk"])
+             for r in shuffle_shards(docs, "doc_id", salt="s2").collect()}
+        assert a != b
