@@ -53,6 +53,7 @@ HEADLINE = [
     "grammar_priority_orders",
     "grammar_number_docs",
     "openapi_requests",
+    "openapi_responses",
     "xsd_orders_xml",
     "multimodal_features",
     "multimodal_frames",

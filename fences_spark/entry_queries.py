@@ -1559,6 +1559,11 @@ _OPENAPI_SPEC = {
                      "properties": {"custkey": {"type": "integer", "minimum": 1},
                                     "total": {"type": "number",
                                               "exclusiveMinimum": 0}}},
+        "OrderOut": {"type": "object", "required": ["id", "total"],
+                     "properties": {"id": {"type": "integer", "minimum": 1},
+                                    "total": {"type": "number",
+                                              "exclusiveMinimum": 0},
+                                    "priority": {"$ref": "#/components/schemas/Priority"}}},
     }},
     "paths": {
         "/orders/{id}": {"get": {
@@ -1571,7 +1576,10 @@ _OPENAPI_SPEC = {
                 {"name": "limit", "in": "query", "required": True,
                  "schema": {"type": "integer", "minimum": 1, "maximum": 100}},
             ],
-            "responses": {"200": {"description": "ok"}}}},
+            "responses": {
+                "200": {"description": "ok", "content": {"application/json": {
+                    "schema": {"$ref": "#/components/schemas/OrderOut"}}}},
+                "4XX": {"description": "client error"}}}},
         "/orders": {"post": {
             "operationId": "createOrder",
             "requestBody": {"required": True, "content": {"application/json": {
@@ -1621,6 +1629,64 @@ UNION ALL
 SELECT 'createOrder',
        SUM(CASE WHEN c_custkey >= 1 AND c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT,
        SUM(CASE WHEN c_custkey >= 1 AND c_acctbal > 0 THEN 0 ELSE 1 END)::BIGINT
+FROM customer
+"""
+
+
+def q_openapi_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a response log (getOrder: 200-with-JSON-body / 404 /
+    undeclared 500; createOrder: 201 / undeclared 409), validate
+    against the spec's per-operation responses section, return
+    per-operation verdict counts.  Status resolution (exact → NXX →
+    default) and every body predicate are one projection pass."""
+    from fences_spark.schema.open_api import OpenApiValidator
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+    get_resps = orders.select(
+        F.lit("GET").alias("method"),
+        F.concat(F.lit("/orders/"), k.cast("string")).alias("path"),
+        F.when(k % 7 == 0, F.lit(500))
+         .when(k % 7 == 1, F.lit(404))
+         .otherwise(F.lit(200)).alias("status"),
+        F.when(
+            (k % 7 != 0) & (k % 7 != 1),
+            F.concat(
+                F.lit('{"id": '),
+                F.when(k % 5 == 0, F.lit("0")).otherwise(k.cast("string")),
+                F.lit(', "total": '), F.col("o_totalprice").cast("string"),
+                F.lit(', "priority": "'), F.col("o_orderpriority"), F.lit('"}'),
+            ),
+        ).alias("body"),
+    )
+    post_resps = customer.select(
+        F.lit("POST").alias("method"),
+        F.lit("/orders").alias("path"),
+        F.when(F.col("c_custkey") % 4 != 0, F.lit(201))
+         .otherwise(F.lit(409)).alias("status"),
+        F.lit(None).cast("string").alias("body"),
+    )
+    v = OpenApiValidator(_OPENAPI_SPEC)
+    out = v.validate_responses(get_resps.unionByName(post_resps))
+    return v.verdicts(out)
+
+
+SQL_OPENAPI_RESPONSES = """
+SELECT 'getOrder' AS operation_id,
+       SUM(CASE WHEN o_orderkey % 7 = 0 THEN 0
+                WHEN o_orderkey % 7 = 1 THEN 1
+                WHEN o_orderkey % 5 = 0 THEN 0
+                ELSE 1 END)::BIGINT AS n_valid,
+       SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1
+                WHEN o_orderkey % 7 = 1 THEN 0
+                WHEN o_orderkey % 5 = 0 THEN 1
+                ELSE 0 END)::BIGINT AS n_invalid
+FROM orders
+UNION ALL
+SELECT 'createOrder',
+       SUM(CASE WHEN c_custkey % 4 != 0 THEN 1 ELSE 0 END)::BIGINT,
+       SUM(CASE WHEN c_custkey % 4 != 0 THEN 0 ELSE 1 END)::BIGINT
 FROM customer
 """
 
@@ -2213,6 +2279,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grammar_priority_orders": q_grammar_priority_orders,
     "grammar_number_docs": q_grammar_number_docs,
     "openapi_requests": q_openapi_requests,
+    "openapi_responses": q_openapi_responses,
     "xsd_orders_xml": q_xsd_orders_xml,
     "uneval_props_events": q_uneval_props_events,
     "content_b64_docs": q_content_b64_docs,
@@ -2273,6 +2340,7 @@ ORACLE_SQL: dict[str, str] = {
     "grammar_priority_orders": _sql_grammar_priority(),
     "grammar_number_docs": SQL_GRAMMAR_NUMBER_DOCS,
     "openapi_requests": SQL_OPENAPI_REQUESTS,
+    "openapi_responses": SQL_OPENAPI_RESPONSES,
     "xsd_orders_xml": SQL_XSD_ORDERS_XML,
     "uneval_props_events": SQL_UNEVAL_PROPS_EVENTS,
     "content_b64_docs": SQL_CONTENT_B64_DOCS,

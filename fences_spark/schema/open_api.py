@@ -95,6 +95,9 @@ class Operation:
     path: str
     parameters: list[Parameter] = field(default_factory=list)
     request_body: Optional[RequestBody] = None
+    # status key ("200" | "4XX" | "default") → application/json schema
+    # (None when the response declares no JSON content)
+    responses: dict[str, Optional[dict]] = field(default_factory=dict)
 
     def path_regex(self) -> tuple[str, list[str]]:
         """Template → anchored regex + ordered path-param names."""
@@ -150,8 +153,21 @@ def parse_spec(spec: dict) -> dict[str, Operation]:
                     required=bool(rb.get("required", True)),
                     schema=_inline_components(content.get("schema", {}), components),
                 )
+            responses: dict[str, Optional[dict]] = {}
+            for status_key, resp in op.get("responses", {}).items():
+                key = str(status_key)
+                if not (key.isdigit() or key == "default"
+                        or re.fullmatch(r"[1-5]XX", key)):
+                    raise OpenApiError(f"bad response status key {key!r}")
+                content = resp.get("content", {}).get("application/json", {})
+                schema = content.get("schema")
+                responses[key] = (
+                    _inline_components(schema, components) if schema is not None
+                    else None
+                )
             op_id = op.get("operationId") or f"{method}_{path}"
-            ops[op_id] = Operation(op_id, method.upper(), path, params, body)
+            ops[op_id] = Operation(op_id, method.upper(), path, params, body,
+                                   responses)
     if not ops:
         raise OpenApiError("spec declares no operations")
     return ops
@@ -302,6 +318,93 @@ class OpenApiValidator:
             fails = F.filter(
                 F.array(*[F.when(~F.coalesce(c, F.lit(False)), F.lit(n))
                           for n, c in checks]) if checks else F.array().cast("array<string>"),
+                lambda x: x.isNotNull())
+            op_id = F.when(match, F.lit(op.operation_id)).otherwise(op_id)
+            row_valid = F.when(match, F.coalesce(valid, F.lit(False))).otherwise(row_valid)
+            failed = F.when(match, fails).otherwise(failed)
+
+        return df.withColumns({
+            "operation_id": op_id,
+            "row_valid": row_valid,
+            "failed_checks": failed,
+        })
+
+    def validate_responses(
+        self,
+        df: DataFrame,
+        method_col: str = "method",
+        path_col: str = "path",
+        status_col: str = "status",
+        body_col: str = "body",
+    ) -> DataFrame:
+        """Validate a table of HTTP *response* records against the
+        spec's per-operation ``responses`` section — the dual of the
+        reference's ``Response`` spec model (fences/open_api/
+        open_api.py:33-211; the reference only *parses* responses,
+        its generator fires requests — generate.py:78-84 — so the
+        evaluation semantics are ours): a row is valid iff its status
+        code is declared (exact code, then ``NXX`` range, then
+        ``default`` — the OpenAPI resolution order) and, when the
+        matched response declares an ``application/json`` schema, the
+        body is non-null and satisfies it.
+
+        Same execution shape as :meth:`validate`: routing, status
+        resolution, and every body predicate are ONE projection pass
+        — no shuffle, no UDF for builtin-tier schemas.
+        """
+        method = F.upper(F.col(method_col))
+        path = F.col(path_col)
+        status = F.col(status_col).cast("int")
+        have_body = body_col in df.columns
+
+        op_id: Column = F.lit(None).cast("string")
+        row_valid: Column = F.lit(False)
+        failed: Column = F.array(F.lit("__no_route__"))
+
+        for op in reversed(list(self.operations.values())):
+            rx, _names = op.path_regex()
+            anchored = "\\A(?:" + rx + ")\\z"
+            match = (method == op.method) & F.coalesce(path.rlike(anchored), F.lit(False))
+
+            exact = [k for k in op.responses if k.isdigit()]
+            ranges = [k for k in op.responses if re.fullmatch(r"[1-5]XX", k)]
+            has_default = "default" in op.responses
+
+            def _status_match(key: str) -> Column:
+                if key == "default":
+                    return F.lit(True)
+                if key.isdigit():
+                    return status == int(key)
+                lo = int(key[0]) * 100
+                return (status >= lo) & (status <= lo + 99)
+
+            resolution = exact + ranges + (["default"] if has_default else [])
+            declared: Column = F.lit(False)
+            for k in resolution:
+                declared = declared | _status_match(k)
+            checks: list[tuple[str, Column]] = [("status_declared", declared)]
+
+            if have_body:
+                body = F.col(body_col)
+                # undeclared status: body unchecked (status_declared
+                # already fails the row); build the when-chain in
+                # reverse so the most specific key wins
+                body_ok: Column = F.lit(True)
+                for k in reversed(resolution):
+                    schema = op.responses[k]
+                    if schema is None:
+                        pred: Column = F.lit(True)
+                    else:
+                        ok, _tier = compile_json(schema, body)
+                        pred = F.when(body.isNull(), F.lit(False)) \
+                               .otherwise(F.coalesce(ok, F.lit(False)))
+                    body_ok = F.when(_status_match(k), pred).otherwise(body_ok)
+                checks.append(("body", body_ok))
+
+            valid = _all([c for _n, c in checks])
+            fails = F.filter(
+                F.array(*[F.when(~F.coalesce(c, F.lit(False)), F.lit(n))
+                          for n, c in checks]),
                 lambda x: x.isNotNull())
             op_id = F.when(match, F.lit(op.operation_id)).otherwise(op_id)
             row_valid = F.when(match, F.coalesce(valid, F.lit(False))).otherwise(row_valid)

@@ -199,3 +199,92 @@ def test_boolean_component_schema_ref():
     }
     ops = parse_spec(spec)
     assert ops["x"].parameters[0].schema is True
+
+
+# ---------------------------------------------------------------------------
+# response validation (the reference's Response model dual,
+# fences/open_api/open_api.py:33-211)
+# ---------------------------------------------------------------------------
+
+RESP_SPEC = {
+    "info": {"title": "t", "version": "1"},
+    "components": {"schemas": {
+        "Out": {"type": "object", "required": ["id"],
+                "properties": {"id": {"type": "integer", "minimum": 1}}},
+    }},
+    "paths": {
+        "/things/{id}": {"get": {
+            "operationId": "getThing",
+            "responses": {
+                "200": {"description": "ok", "content": {"application/json": {
+                    "schema": {"$ref": "#/components/schemas/Out"}}}},
+                "2XX": {"description": "other success"},  # 200 must win
+                "4XX": {"description": "client error"},
+            }}},
+        "/things": {"post": {
+            "operationId": "makeThing",
+            "responses": {
+                "default": {"description": "anything"},
+            }}},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def resp_validated(spark):
+    rows = [
+        # (tag, method, path, status, body)
+        ("ok_200", "GET", "/things/7", 200, '{"id": 3}'),
+        ("bad_body", "GET", "/things/7", 200, '{"id": 0}'),
+        ("null_body", "GET", "/things/7", 200, None),
+        ("ok_204_range", "GET", "/things/7", 204, None),   # 2XX, no schema
+        ("ok_404_range", "GET", "/things/7", 404, None),
+        ("undeclared_500", "GET", "/things/7", 500, None),
+        ("default_catches", "POST", "/things", 599, None),
+        ("no_route", "DELETE", "/things/7", 200, None),
+    ]
+    df = spark.createDataFrame(rows, ["tag", "method", "path", "status", "body"])
+    v = OpenApiValidator(RESP_SPEC)
+    return {
+        r["tag"]: r
+        for r in v.validate_responses(df).select(
+            "tag", "operation_id", "row_valid", "failed_checks"
+        ).collect()
+    }
+
+
+def test_response_exact_status_wins_over_range(resp_validated):
+    # 200 resolves to the schema'd response, NOT the schemaless 2XX
+    assert resp_validated["ok_200"]["row_valid"] is True
+    assert resp_validated["bad_body"]["row_valid"] is False
+    assert resp_validated["bad_body"]["failed_checks"] == ["body"]
+
+
+def test_response_null_body_fails_when_schema_declared(resp_validated):
+    assert resp_validated["null_body"]["row_valid"] is False
+    assert resp_validated["null_body"]["failed_checks"] == ["body"]
+
+
+def test_response_range_status_no_schema(resp_validated):
+    assert resp_validated["ok_204_range"]["row_valid"] is True
+    assert resp_validated["ok_404_range"]["row_valid"] is True
+
+
+def test_response_undeclared_status(resp_validated):
+    assert resp_validated["undeclared_500"]["row_valid"] is False
+    assert "status_declared" in resp_validated["undeclared_500"]["failed_checks"]
+
+
+def test_response_default_and_routing(resp_validated):
+    assert resp_validated["default_catches"]["row_valid"] is True
+    assert resp_validated["default_catches"]["operation_id"] == "makeThing"
+    assert resp_validated["no_route"]["row_valid"] is False
+    assert resp_validated["no_route"]["operation_id"] is None
+    assert resp_validated["no_route"]["failed_checks"] == ["__no_route__"]
+
+
+def test_response_bad_status_key_rejected():
+    bad = {"info": {}, "paths": {"/x": {"get": {
+        "operationId": "x", "responses": {"6XX": {"description": "?"}}}}}}
+    with pytest.raises(OpenApiError, match="status key"):
+        parse_spec(bad["paths"] and bad)
