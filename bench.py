@@ -57,6 +57,7 @@ HEADLINE = [
     "xsd_orders_xml",
     "multimodal_features",
     "multimodal_frames",
+    "multimodal_resize",
     "generate_confusion_fixtures",
     "validate_files_200k",
     "decontaminate_docs",

@@ -2146,6 +2146,42 @@ WHERE i <= least(7, greatest(duration_ms // 10000 - 1, 0))
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving image resize over the media projection of
+    documents: output geometry is integer Column algebra (JVM), only
+    the stubbed pixel resample crosses the Arrow boundary."""
+    from fences_spark.operators.multimodal import (
+        media_from_documents,
+        resize_images,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return resize_images(media, target_w=64, target_h=64)
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH media AS (
+  SELECT doc_id AS media_id, text,
+         ((doc_id % 640) + 1)::BIGINT AS w,
+         ((doc_id % 480) + 1)::BIGINT AS h
+  FROM documents
+  WHERE doc_id % 3 = 0
+), dims AS (
+  SELECT media_id, text, w, h,
+         CASE WHEN w >= h THEN 64
+              ELSE greatest(1, floor(w * 64 / h)::BIGINT) END AS out_w,
+         CASE WHEN w >= h THEN greatest(1, floor(h * 64 / w)::BIGINT)
+              ELSE 64 END AS out_h
+  FROM media
+)
+SELECT media_id,
+       w::INT AS in_w, h::INT AS in_h,
+       out_w::INT AS out_w, out_h::INT AS out_h,
+       sha256(text || '#' || out_w::VARCHAR || 'x' || out_h::VARCHAR) AS resized_sha256
+FROM dims
+"""
+
+
 def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word-5-gram with the held-out eval split (a deterministic 5%
@@ -2329,6 +2365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_docs": q_langid_docs,
     "validate_files_200k": q_validate_files_200k,
     "generate_confusion_fixtures": q_generate_confusion_fixtures,
+    "multimodal_resize": q_multimodal_resize,
     "decontaminate_docs": q_decontaminate_docs,
     "redact_docs": q_redact_docs,
     "shuffle_shard_docs": q_shuffle_shard_docs,
@@ -2370,6 +2407,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_span_docs": SQL_DUP_SPAN_DOCS,
     "winnow_docs": SQL_WINNOW_DOCS,
     "repetition_docs": SQL_REPETITION_DOCS,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "redact_docs": SQL_REDACT_DOCS,
     "shuffle_shard_docs": SQL_SHUFFLE_SHARD_DOCS,

@@ -162,3 +162,59 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
         F.col("meta.duration_ms").alias("duration_ms"),
     )
     return df.withColumn("meta", new_meta)
+
+
+_RESIZE_SCHEMA = "media_id long, in_w int, in_h int, out_w int, out_h int, resized_sha256 string"
+
+
+def resize_images(df: DataFrame, *, target_w: int = 64, target_h: int = 64,
+                  decode: str = "fake") -> DataFrame:
+    """Aspect-preserving fit-within-box image resize: one row per
+    image with the computed output dims and a digest of the "resized"
+    bytes.
+
+    The output geometry is pure INTEGER Column algebra on the JVM
+    side (wider-than-box ⇒ out_w = target_w, out_h = h·target_w ÷ w,
+    else the transpose; integer division, so bit-identical in any
+    engine — no float rounding to disagree about).  Only the pixel
+    resample crosses into Python (mapInPandas, Arrow batches); fake
+    decode fingerprints the would-be output as
+    sha256(payload || '#' || out_w || 'x' || out_h) — same
+    ASCII-suffix convention as frame sampling, reproducible by the
+    DuckDB oracle."""
+    imgs = df.filter(F.col("modality") == "image")
+    w = F.col("meta.width").cast("long")
+    h = F.col("meta.height").cast("long")
+    wide = (w * target_h) >= (h * target_w)
+    out_w = F.when(wide, F.lit(target_w)) \
+             .otherwise(F.greatest(F.lit(1), (w * target_h / h).cast("long"))).cast("int")
+    out_h = F.when(wide, F.greatest(F.lit(1), (h * target_w / w).cast("long"))) \
+             .otherwise(F.lit(target_h)).cast("int")
+    staged = imgs.select(
+        "media_id", "payload",
+        w.cast("int").alias("in_w"), h.cast("int").alias("in_h"),
+        out_w.alias("out_w"), out_h.alias("out_h"),
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                # real path: PIL.Image.open(io.BytesIO(payload))
+                #   .resize((out_w, out_h)) → re-encode
+                raise NotImplementedError(
+                    "real image decode unavailable in this environment")
+            digests = [
+                hashlib.sha256(
+                    (bytes(p) if p is not None else b"")
+                    + f"#{ow}x{oh}".encode()
+                ).hexdigest()
+                for p, ow, oh in zip(pdf["payload"], pdf["out_w"], pdf["out_h"])
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "in_w": pdf["in_w"], "in_h": pdf["in_h"],
+                "out_w": pdf["out_w"], "out_h": pdf["out_h"],
+                "resized_sha256": digests,
+            })
+
+    return staged.mapInPandas(op, schema=_RESIZE_SCHEMA)

@@ -279,11 +279,18 @@ class OpenApiValidator:
         path_col: str = "path",
         query_col: str = "query",
         body_col: str = "body",
+        headers_col: str = "headers",
+        cookies_col: str = "cookies",
     ) -> DataFrame:
         method = F.upper(F.col(method_col))
         path = F.col(path_col)
         have_query = query_col in df.columns
         have_body = body_col in df.columns
+        # header names are case-insensitive (RFC 9110 §5.1): the map is
+        # probed with the lowercased declared name, so ingest should
+        # lowercase header keys (cookie names stay case-sensitive)
+        have_headers = headers_col in df.columns
+        have_cookies = cookies_col in df.columns
 
         op_id: Column = F.lit(None).cast("string")
         row_valid: Column = F.lit(False)
@@ -304,6 +311,16 @@ class OpenApiValidator:
                     checks.append((cname, lexical_pred(p.schema, raw)))
                 elif p.position == "query" and have_query:
                     raw = F.element_at(F.col(query_col), p.name)
+                    ok = F.when(raw.isNull(), F.lit(not p.required)) \
+                         .otherwise(lexical_pred(p.schema, raw))
+                    checks.append((cname, ok))
+                elif p.position == "header" and have_headers:
+                    raw = F.element_at(F.col(headers_col), p.name.lower())
+                    ok = F.when(raw.isNull(), F.lit(not p.required)) \
+                         .otherwise(lexical_pred(p.schema, raw))
+                    checks.append((cname, ok))
+                elif p.position == "cookie" and have_cookies:
+                    raw = F.element_at(F.col(cookies_col), p.name)
                     ok = F.when(raw.isNull(), F.lit(not p.required)) \
                          .otherwise(lexical_pred(p.schema, raw))
                     checks.append((cname, ok))

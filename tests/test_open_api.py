@@ -288,3 +288,38 @@ def test_response_bad_status_key_rejected():
         "operationId": "x", "responses": {"6XX": {"description": "?"}}}}}}
     with pytest.raises(OpenApiError, match="status key"):
         parse_spec(bad["paths"] and bad)
+
+
+def test_header_and_cookie_parameters(spark):
+    spec = {
+        "info": {"title": "t", "version": "1"},
+        "paths": {"/ping": {"get": {
+            "operationId": "ping",
+            "parameters": [
+                {"name": "X-Api-Version", "in": "header", "required": True,
+                 "schema": {"type": "integer", "minimum": 1}},
+                {"name": "sid", "in": "cookie", "required": False,
+                 "schema": {"type": "string", "minLength": 4}},
+            ],
+            "responses": {"200": {"description": "ok"}}}}},
+    }
+    rows = [
+        ("ok", {"x-api-version": "2"}, {"sid": "abcd"}),
+        ("ok_no_cookie", {"x-api-version": "1"}, {}),
+        ("bad_header", {"x-api-version": "0"}, {}),
+        ("missing_required_header", {}, {}),
+        ("bad_cookie", {"x-api-version": "3"}, {"sid": "ab"}),
+    ]
+    df = spark.createDataFrame(
+        [(t, "GET", "/ping", h, c) for t, h, c in rows],
+        "tag string, method string, path string, headers map<string,string>, cookies map<string,string>",
+    )
+    got = {
+        r["tag"]: (r["row_valid"], list(r["failed_checks"]))
+        for r in OpenApiValidator(spec).validate(df).collect()
+    }
+    assert got["ok"] == (True, [])
+    assert got["ok_no_cookie"] == (True, [])
+    assert got["bad_header"] == (False, ["header.X-Api-Version"])
+    assert got["missing_required_header"] == (False, ["header.X-Api-Version"])
+    assert got["bad_cookie"] == (False, ["cookie.sid"])

@@ -970,3 +970,35 @@ class TestShuffleShards:
         b = {(r["doc_id"], r["shard"], r["rnk"])
              for r in shuffle_shards(docs, "doc_id", salt="s2").collect()}
         assert a != b
+
+
+class TestResizeImages:
+    def test_geometry_and_digest(self, spark):
+        import hashlib
+
+        from fences_spark.operators.multimodal import resize_images, synth_media_table
+
+        media = synth_media_table(spark, 60)
+        out = {r["media_id"]: r for r in resize_images(media, target_w=64, target_h=64).collect()}
+        src = {r["media_id"]: r for r in media.filter("modality = 'image'").collect()}
+        assert set(out) == set(src)
+        for mid, r in out.items():
+            w, h = src[mid]["meta"]["width"], src[mid]["meta"]["height"]
+            assert (r["in_w"], r["in_h"]) == (w, h)
+            # aspect-fit: the longer side hits 64, the other scales down
+            if w >= h:
+                assert r["out_w"] == 64 and r["out_h"] == max(1, h * 64 // w)
+            else:
+                assert r["out_h"] == 64 and r["out_w"] == max(1, w * 64 // h)
+            assert 1 <= r["out_w"] <= 64 and 1 <= r["out_h"] <= 64
+            want = hashlib.sha256(
+                bytes(src[mid]["payload"]) + f"#{r['out_w']}x{r['out_h']}".encode()
+            ).hexdigest()
+            assert r["resized_sha256"] == want
+
+    def test_real_decode_raises(self, spark):
+        from fences_spark.operators.multimodal import resize_images, synth_media_table
+
+        media = synth_media_table(spark, 6)
+        with pytest.raises(Exception, match="image decode unavailable"):
+            resize_images(media, decode="real").collect()
