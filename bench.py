@@ -44,6 +44,7 @@ HEADLINE = [
     "tfidf_topterms_docs",
     "pack_docs",
     "mix_quota_docs",
+    "mix_interleave_docs",
     "asof_click_purchase",
     "range_view_error",
     "sessionize_events",

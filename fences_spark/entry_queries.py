@@ -2146,6 +2146,37 @@ WHERE i <= least(7, greatest(duration_ms // 10000 - 1, 0))
 """
 
 
+def q_mix_interleave_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted interleave of document languages into
+    one training order: every block of 6 positions holds 3 'en',
+    2 'de', 1 'fr' slots (integer-exact mixture scheduling)."""
+    from fences_spark.operators.sampling import weighted_interleave
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_interleave(
+        docs, "doc_id", "lang", {"en": 3, "de": 2, "fr": 1}
+    ).orderBy("pos")
+
+
+SQL_MIX_INTERLEAVE_DOCS = """
+WITH ranked AS (
+  SELECT doc_id, lang AS stratum,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substring(md5('mix42#' || doc_id::VARCHAR), 1, 15))::BIGINT,
+                    doc_id
+         ) - 1 AS r,
+         CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 WHEN 'fr' THEN 1 END AS w,
+         CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 3 WHEN 'fr' THEN 5 END AS o
+  FROM documents
+  WHERE lang IN ('en', 'de', 'fr')
+)
+SELECT doc_id, stratum, ((r // w) * 6 + o + (r % w))::BIGINT AS pos
+FROM ranked
+ORDER BY pos
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving image resize over the media projection of
     documents: output geometry is integer Column algebra (JVM), only
@@ -2366,6 +2397,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_files_200k": q_validate_files_200k,
     "generate_confusion_fixtures": q_generate_confusion_fixtures,
     "multimodal_resize": q_multimodal_resize,
+    "mix_interleave_docs": q_mix_interleave_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "redact_docs": q_redact_docs,
     "shuffle_shard_docs": q_shuffle_shard_docs,
@@ -2408,6 +2440,7 @@ ORACLE_SQL: dict[str, str] = {
     "winnow_docs": SQL_WINNOW_DOCS,
     "repetition_docs": SQL_REPETITION_DOCS,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "mix_interleave_docs": SQL_MIX_INTERLEAVE_DOCS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "redact_docs": SQL_REDACT_DOCS,
     "shuffle_shard_docs": SQL_SHUFFLE_SHARD_DOCS,

@@ -145,3 +145,83 @@ def shuffle_shards(
         .withColumn("rnk", F.row_number().over(w))
         .select("doc_id", "shard", "rnk")
     )
+
+# ---------------------------------------------------------------------------
+# deterministic weighted interleave (mixture scheduling)
+# ---------------------------------------------------------------------------
+
+
+def weighted_interleave(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weights: dict[str, int],
+    *,
+    salt: str = "mix42",
+) -> DataFrame:
+    """(doc_id, stratum, pos) — a reproducible global training order
+    that interleaves strata (sources/languages) at integer weight
+    ratios: every block of ``W = sum(weights)`` consecutive positions
+    contains ``weights[s]`` slots of stratum ``s``.  This is the data-
+    mixing schedule of a pretraining pipeline (sample source s with
+    probability w_s/W) made exactly reproducible — no RNG, no floats.
+    No reference precedent (SURVEY.md §2.F).
+
+    Position formula (integer-only, so any engine derives the same
+    order): with r = the document's 0-based hash rank inside its
+    stratum, ``pos = (r div w_s)·W + offset_s + (r mod w_s)`` where
+    offset_s is the cumulative weight of the strata listed before s.
+    Positions are globally unique; when a stratum runs out of
+    documents its later slots are simply absent (standard mixture
+    behavior — consumers read in pos order).
+
+    Strata absent from ``weights`` are dropped (weight 0).
+
+    Execution shape: ONE shuffle on the stratum key for the
+    per-stratum ``row_number`` (rank by salted 60-bit md5, doc-id
+    tie-break); the position arithmetic is a narrow projection.
+    Stratum skew caveat as in :func:`quality_quota_sample`: one
+    giant stratum serializes its own ranking — pre-shard such a
+    stratum into sub-strata with proportionally split weights.
+    """
+    from pyspark.sql import Window
+
+    if not weights or any(w <= 0 or w != int(w) for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    total = sum(weights.values())
+    offsets: dict[str, int] = {}
+    acc = 0
+    for s, w in weights.items():
+        offsets[s] = acc
+        acc += w
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "#"), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w_col = F.create_map(*[x for s, w in weights.items()
+                           for x in (F.lit(s), F.lit(int(w)))])[F.col("stratum")]
+    off_col = F.create_map(*[x for s, o in offsets.items()
+                             for x in (F.lit(s), F.lit(o))])[F.col("stratum")]
+    win = Window.partitionBy("stratum").orderBy("h", "doc_id")
+    return (
+        df.select(
+            F.col(key_col).alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+        )
+        .filter(F.col("stratum").isin(list(weights)))
+        .withColumn("h", h)
+        .withColumn("r", F.row_number().over(win) - 1)
+        .select(
+            "doc_id",
+            "stratum",
+            (
+                F.floor(F.col("r") / w_col) * total
+                + off_col
+                + F.pmod(F.col("r"), w_col)
+            ).cast("long").alias("pos"),
+        )
+    )

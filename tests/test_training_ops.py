@@ -1002,3 +1002,51 @@ class TestResizeImages:
         media = synth_media_table(spark, 6)
         with pytest.raises(Exception, match="image decode unavailable"):
             resize_images(media, decode="real").collect()
+
+
+class TestWeightedInterleave:
+    def test_block_structure_and_determinism(self, spark):
+        from fences_spark.operators.sampling import weighted_interleave
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        weights = {"en": 3, "de": 2, "fr": 1}
+        out = weighted_interleave(docs, "doc_id", "lang", weights).collect()
+        out2 = weighted_interleave(docs.repartition(11), "doc_id", "lang", weights).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+        # positions are globally unique
+        poss = [r["pos"] for r in out]
+        assert len(poss) == len(set(poss))
+        # within every FULL block of 6, slot pattern is en,en,en,de,de,fr
+        by_pos = {r["pos"]: r["stratum"] for r in out}
+        full_blocks = 0
+        b = 0
+        while all(b * 6 + i in by_pos for i in range(6)):
+            got = [by_pos[b * 6 + i] for i in range(6)]
+            assert got == ["en", "en", "en", "de", "de", "fr"], (b, got)
+            full_blocks += 1
+            b += 1
+        assert full_blocks >= 1
+        # strata outside the weights map are dropped
+        assert set(by_pos.values()) <= set(weights)
+
+    def test_exhausted_stratum_leaves_gaps(self, spark):
+        from fences_spark.operators.sampling import weighted_interleave
+
+        df = spark.createDataFrame(
+            [(i, "big") for i in range(10)] + [(100, "small")],
+            ["doc_id", "lang"],
+        )
+        out = weighted_interleave(df, "doc_id", "lang", {"big": 1, "small": 1}).collect()
+        small_pos = [r["pos"] for r in out if r["stratum"] == "small"]
+        big_pos = sorted(r["pos"] for r in out if r["stratum"] == "big")
+        assert small_pos == [1]          # the single small doc takes block 0's slot
+        assert big_pos == [2 * i for i in range(10)]  # big keeps its every-other slots
+
+    def test_rejects_bad_weights(self, spark):
+        from fences_spark.operators.sampling import weighted_interleave
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        with pytest.raises(ValueError):
+            weighted_interleave(docs, "doc_id", "lang", {"en": 0})
+        with pytest.raises(ValueError):
+            weighted_interleave(docs, "doc_id", "lang", {})
