@@ -63,6 +63,7 @@ HEADLINE = [
     "validate_files_200k",
     "decontaminate_docs",
     "redact_docs",
+    "blocklist_docs",
     "shuffle_shard_docs",
 ]
 

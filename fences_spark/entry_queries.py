@@ -2177,6 +2177,58 @@ ORDER BY pos
 """
 
 
+def q_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist gate over deterministically planted URLs (the
+    raw corpus has none): docs get an allowed / blocked / subdomain-
+    blocked URL as a pure function of doc_id."""
+    from fences_spark.operators.curate import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    enriched = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 1, F.lit(" see https://ok.example.org/page"))
+         .when(did % 4 == 2, F.concat(F.lit(" via http://ads.tracker.net/x"), s(did)))
+         .when(did % 4 == 3, F.lit(" and https://cdn.spam-site.com/y"))
+         .otherwise(F.lit("")),
+    )
+    return blocklist_filter(
+        docs.select("doc_id", enriched.alias("text")),
+        "doc_id",
+        "text",
+        ["tracker.net", "spam-site.com"],
+    )
+
+
+SQL_BLOCKLIST_DOCS = """
+WITH enriched AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 4 = 1 THEN ' see https://ok.example.org/page'
+           WHEN doc_id % 4 = 2 THEN ' via http://ads.tracker.net/x' || doc_id::VARCHAR
+           WHEN doc_id % 4 = 3 THEN ' and https://cdn.spam-site.com/y'
+           ELSE '' END AS text
+  FROM documents
+), doms AS (
+  SELECT doc_id,
+         list_sort(list_distinct(regexp_extract_all(lower(text), 'https?://([a-z0-9.-]+)', 1))) AS d
+  FROM enriched
+), hits AS (
+  SELECT doc_id, d,
+         list_filter(d, x -> x = 'tracker.net' OR x LIKE '%.tracker.net'
+                          OR x = 'spam-site.com' OR x LIKE '%.spam-site.com') AS m
+  FROM doms
+)
+SELECT doc_id,
+       len(d)::INT AS n_domains,
+       len(m) > 0 AS blocked,
+       CASE WHEN len(m) > 0 THEN m[1] END AS matched_domain
+FROM hits
+ORDER BY doc_id
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving image resize over the media projection of
     documents: output geometry is integer Column algebra (JVM), only
@@ -2398,6 +2450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "generate_confusion_fixtures": q_generate_confusion_fixtures,
     "multimodal_resize": q_multimodal_resize,
     "mix_interleave_docs": q_mix_interleave_docs,
+    "blocklist_docs": q_blocklist_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "redact_docs": q_redact_docs,
     "shuffle_shard_docs": q_shuffle_shard_docs,
@@ -2441,6 +2494,7 @@ ORACLE_SQL: dict[str, str] = {
     "repetition_docs": SQL_REPETITION_DOCS,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "mix_interleave_docs": SQL_MIX_INTERLEAVE_DOCS,
+    "blocklist_docs": SQL_BLOCKLIST_DOCS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "redact_docs": SQL_REDACT_DOCS,
     "shuffle_shard_docs": SQL_SHUFFLE_SHARD_DOCS,

@@ -165,3 +165,56 @@ def decontaminate(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL domain extraction + blocklist filter
+# ---------------------------------------------------------------------------
+
+_URL_DOMAIN_RE = r"https?://([a-z0-9.-]+)"
+
+
+def url_domains(text: Column) -> Column:
+    """Sorted distinct lowercase domains of every http(s) URL in the
+    text — one `regexp_extract_all` capture pass, pure JVM (regex
+    subset parses identically under Java regex and RE2)."""
+    return F.array_sort(
+        F.array_distinct(F.regexp_extract_all(F.lower(text), F.lit(_URL_DOMAIN_RE), 1))
+    )
+
+
+def blocklist_filter(
+    df: DataFrame, id_col: str, text_col: str, blocked: list[str]
+) -> DataFrame:
+    """(doc_id, n_domains, blocked, matched_domain) — the
+    domain-blocklist gate of a web-corpus curation pipeline (the
+    C4/RefinedWeb "bad-domain" filter): a document is blocked when any
+    of its URL domains equals a blocklist entry or is a subdomain of
+    one (dot-suffix match).  No reference precedent (SURVEY.md §2.F).
+
+    Execution shape: the blocklist is a pipeline constant (thousands
+    of entries at most), so membership folds into the projection as an
+    `exists` over the per-row domain array against literal entries —
+    zero shuffles, zero joins, whole-stage codegen; `matched_domain`
+    is the lexicographically first offender (deterministic).  If the
+    blocklist ever outgrows literal folding, switch to an exploded
+    broadcast join on domain.
+    """
+    if not blocked:
+        raise ValueError("blocked must be a non-empty domain list")
+    blocked = sorted({b.lower() for b in blocked})
+
+    def _hits(d: Column) -> Column:
+        hit = F.lit(False)
+        for b in blocked:
+            hit = hit | (d == b) | d.endswith("." + b)
+        return hit
+
+    doms = url_domains(F.col(text_col))
+    matches = F.filter(doms, _hits)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(doms).alias("n_domains"),
+        (F.size(matches) > 0).alias("blocked"),
+        F.try_element_at(matches, F.lit(1)).alias("matched_domain"),
+    ).orderBy("doc_id")

@@ -1050,3 +1050,33 @@ class TestWeightedInterleave:
             weighted_interleave(docs, "doc_id", "lang", {"en": 0})
         with pytest.raises(ValueError):
             weighted_interleave(docs, "doc_id", "lang", {})
+
+
+class TestBlocklistFilter:
+    def test_exact_subdomain_and_clean(self, spark):
+        from fences_spark.operators.curate import blocklist_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "go to https://ads.net/x now"),              # exact
+                (2, "img at http://cdn.ads.net/y"),              # subdomain
+                (3, "fine https://example.org/ and http://ok.io"),
+                (4, "no urls at all"),
+                (5, "NOT a match: https://badads.net/z"),        # no dot boundary
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in blocklist_filter(df, "doc_id", "text", ["ads.net"]).collect()}
+        assert out[1]["blocked"] is True and out[1]["matched_domain"] == "ads.net"
+        assert out[2]["blocked"] is True and out[2]["matched_domain"] == "cdn.ads.net"
+        assert out[3]["blocked"] is False and out[3]["n_domains"] == 2
+        assert out[3]["matched_domain"] is None
+        assert out[4]["n_domains"] == 0 and out[4]["blocked"] is False
+        assert out[5]["blocked"] is False
+
+    def test_empty_blocklist_rejected(self, spark):
+        from fences_spark.operators.curate import blocklist_filter
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            blocklist_filter(df, "doc_id", "text", [])
