@@ -55,6 +55,14 @@ class CurateStreamConfig:
     def stats_checkpoint(self) -> str:
         return os.path.join(self.output_dir, "stream_stats_ckpt")
 
+    @property
+    def sessions_path(self) -> str:
+        return os.path.join(self.output_dir, "stream_sessions")
+
+    @property
+    def sessions_checkpoint(self) -> str:
+        return os.path.join(self.output_dir, "stream_sessions_ckpt")
+
 
 def dedup_stream(
     stream_df: DataFrame,
@@ -109,6 +117,44 @@ def windowed_doc_stats(
     )
 
 
+def session_stream(
+    stream_df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming sessionization: the streaming dual of the batch
+    `session_window` entry (`sessionize_events`) — per-key sessions
+    merge while events keep arriving within ``gap``; a session is
+    FINALIZED (emitted, append mode) once the watermark passes its
+    dynamic end, and its state is evicted.  State is bounded by
+    (#active keys × open sessions), not stream length — the property
+    that keeps per-user sessionization viable on an unbounded event
+    stream.  Late rows re-open nothing: once a session closed, a row
+    inside its span is dropped (same contract as windowed stats)."""
+    return (
+        stream_df.withWatermark(ts_col, delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("s"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col(value_col)), 6).alias("total_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("s.start").alias("s_start"),
+            F.col("s.end").alias("s_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def _start(out_df: DataFrame, path: str, checkpoint: str) -> StreamingQuery:
     return (
         out_df.writeStream.outputMode("append")
@@ -135,4 +181,14 @@ def start_stats_stream(
     aggregate into a checkpointed parquet sink (availableNow)."""
     return _start(
         windowed_doc_stats(stream_df, **kwargs), cfg.stats_path, cfg.stats_checkpoint
+    )
+
+
+def start_session_stream(
+    stream_df: DataFrame, cfg: CurateStreamConfig, **kwargs
+) -> StreamingQuery:
+    """Drain the currently available input through streaming
+    sessionization into a checkpointed parquet sink (availableNow)."""
+    return _start(
+        session_stream(stream_df, **kwargs), cfg.sessions_path, cfg.sessions_checkpoint
     )

@@ -189,3 +189,87 @@ class TestStatefulRunningStats:
             assert abs(latest[lang]["mean_quality"] - truth[lang]["mq"]) < 1e-9
         # de untouched by drain 2: its only row came from epoch of drain 1
         assert latest["de"]["n_docs"] == 1
+
+
+EV_SCHEMA = "user_id long, value double, ts timestamp"
+
+
+def _write_events(spark, src, rows):
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+
+def _drain_sessions(spark, src, cfg):
+    from fences_spark.streaming.curate import start_session_stream
+
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+    start_session_stream(stream, cfg, gap="30 minutes", delay="30 minutes"
+                         ).awaitTermination()
+
+
+class TestStreamingSessionization:
+    def test_sessions_merge_finalize_and_match_batch(self, spark, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ssess")
+        src = str(root / "src")
+        cfg = CurateStreamConfig(output_dir=str(root / "out"))
+
+        rows = [
+            # user 1: two events 20 min apart -> ONE session (gap 30m)
+            (1, 1.0, T0),
+            (1, 2.0, T0 + timedelta(minutes=20)),
+            # user 1 again 40 min later -> a SECOND session
+            (1, 4.0, T0 + timedelta(minutes=60)),
+            # user 2: single-event session
+            (2, 8.0, T0 + timedelta(minutes=5)),
+        ]
+        _write_events(spark, src, rows)
+        _drain_sessions(spark, src, cfg)
+
+        # advance the watermark far past every session's dynamic end
+        _write_events(spark, src, [(9, 0.0, T0 + timedelta(hours=5))])
+        _drain_sessions(spark, src, cfg)
+
+        got = {
+            (r["user_id"], r["s_start"]): (r["s_end"], r["n_events"], r["total_value"])
+            for r in spark.read.parquet(cfg.sessions_path).collect()
+        }
+        # session ends are last-event + gap (dynamic), exactly the
+        # batch session_window semantics
+        assert got[(1, T0)] == (T0 + timedelta(minutes=50), 2, 3.0)
+        assert got[(1, T0 + timedelta(minutes=60))] == (T0 + timedelta(minutes=90), 1, 4.0)
+        assert got[(2, T0 + timedelta(minutes=5))] == (T0 + timedelta(minutes=35), 1, 8.0)
+        # flush row's own session is still open -> not emitted
+        assert all(k[0] != 9 for k in got)
+
+        # parity with the BATCH session_window over the same rows
+        batch = {
+            (r["user_id"], r["s_start"]): (r["s_end"], r["n_events"], r["total_value"])
+            for r in (
+                spark.createDataFrame(rows, EV_SCHEMA)
+                .groupBy(F.session_window(F.col("ts"), "30 minutes").alias("s"), "user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.round(F.sum("value"), 6).alias("total_value"))
+                .select("user_id", F.col("s.start").alias("s_start"),
+                        F.col("s.end").alias("s_end"), "n_events", "total_value")
+            ).collect()
+        }
+        assert got == batch
+
+    def test_late_row_after_session_closed_is_dropped(self, spark, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ssess2")
+        src = str(root / "src")
+        cfg = CurateStreamConfig(output_dir=str(root / "out"))
+
+        _write_events(spark, src, [(1, 1.0, T0)])
+        _drain_sessions(spark, src, cfg)
+        _write_events(spark, src, [(9, 0.0, T0 + timedelta(hours=5))])
+        _drain_sessions(spark, src, cfg)  # user 1's session finalized
+
+        # a row INSIDE user 1's closed session span: dropped, session
+        # is not re-opened or re-emitted
+        _write_events(spark, src, [(1, 99.0, T0 + timedelta(minutes=10))])
+        _drain_sessions(spark, src, cfg)
+
+        out = [r for r in spark.read.parquet(cfg.sessions_path).collect()
+               if r["user_id"] == 1]
+        assert len(out) == 1
+        assert (out[0]["n_events"], out[0]["total_value"]) == (1, 1.0)
