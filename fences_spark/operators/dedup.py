@@ -388,22 +388,23 @@ def simhash(text: Column, bits: int = 32) -> Column:
     fold — fine for ad-hoc use on small data; use
     :func:`simhash_table` in pipelines)."""
     h = F.transform(tokens(text), _token_hash)
+    # bit masks are driver-side literals: shiftright/shiftleft take a
+    # plain int shift amount, not a Column, so the per-bit expressions
+    # are unrolled in Python (bits is a compile-time constant anyway)
     votes = F.aggregate(
         h,
         F.array_repeat(F.lit(0).cast("long"), bits),
         lambda acc, x: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.shiftright(x, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1,
-            ),
+            F.array(*[
+                (F.when(x.bitwiseAND(F.lit(1 << b)) != 0, F.lit(1))
+                  .otherwise(F.lit(-1))).cast("long")
+                for b in range(bits)
+            ]),
             lambda a, v: a + v,
         ),
     )
-    weights = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.shiftleft(F.lit(1).cast("long"), b.cast("int")),
-    )
+    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     return F.aggregate(
         F.zip_with(votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),

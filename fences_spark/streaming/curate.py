@@ -70,19 +70,30 @@ def dedup_stream(
     text_col: str = "text",
     event_time_col: str = "ts",
     delay: str = "1 hour",
+    key_expr=None,
 ) -> DataFrame:
-    """First-seen-wins exact dedup over a document stream: rows whose
-    normalized-content fingerprint was already seen within the
-    watermark delay are dropped.  State is evicted by the watermark —
-    a duplicate arriving after its original has aged out of state is
-    re-admitted (the documented trade-off of bounded-state streaming
-    dedup; run the batch `exact_dup_groups` pass for full-history
-    dedup)."""
-    fp = F.md5(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
-    ).alias("fp")
+    """First-seen-wins dedup over a document stream: rows whose
+    fingerprint was already seen within the watermark delay are
+    dropped.  State is evicted by the watermark — a duplicate
+    arriving after its original has aged out of state is re-admitted
+    (the documented trade-off of bounded-state streaming dedup; run
+    the batch `exact_dup_groups` pass for full-history dedup).
+
+    ``key_expr`` selects WHAT counts as a duplicate: by default the
+    normalized-content md5 (exact dedup); pass any deterministic
+    Column factory ``text_col_name -> Column`` to coarsen it — e.g.
+    ``lambda c: simhash(F.col(c))`` (operators/dedup.py) turns this
+    into streaming NEAR-dup suppression: rows whose 32-bit SimHash
+    collides with a recently seen one are dropped.  Same bounded
+    state, same eviction semantics, any fingerprint."""
+    if key_expr is None:
+        fp = F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+        )
+    else:
+        fp = key_expr(text_col)
     return (
-        stream_df.withColumn("fp", fp)
+        stream_df.withColumn("fp", fp.cast("string"))
         .withWatermark(event_time_col, delay)
         .dropDuplicatesWithinWatermark(["fp"])
     )

@@ -273,3 +273,36 @@ class TestStreamingSessionization:
                if r["user_id"] == 1]
         assert len(out) == 1
         assert (out[0]["n_events"], out[0]["total_value"]) == (1, 1.0)
+
+
+class TestStreamingNearDup:
+    def test_simhash_key_suppresses_near_duplicates(self, spark, tmp_path_factory):
+        from fences_spark.operators.dedup import simhash
+        from fences_spark.streaming.curate import dedup_stream
+
+        root = tmp_path_factory.mktemp("sneardup")
+        src = str(root / "src")
+        cfg = CurateStreamConfig(output_dir=str(root / "out"))
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, base, T0),
+            # near-duplicate (one token changed): same SimHash bucket
+            (2, base.replace("lazy", "lazy "), T0 + timedelta(minutes=1)),
+            # genuinely different document: survives
+            (3, "completely unrelated text about spark shuffles and joins", T0 + timedelta(minutes=2)),
+        ]
+        _write(spark, src, rows)
+
+        from fences_spark.streaming.curate import _start
+        stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+        out = dedup_stream(stream, key_expr=lambda c: simhash(F.col(c)))
+        _start(out, cfg.dedup_path, cfg.dedup_checkpoint).awaitTermination()
+
+        kept = sorted(r["doc_id"] for r in spark.read.parquet(cfg.dedup_path).collect())
+        assert kept == [1, 3]
+
+        # sanity: the two near-dups really do share a SimHash; doc 3 doesn't
+        sims = {r["doc_id"]: r["sh"] for r in spark.createDataFrame(rows, DOC_SCHEMA)
+                .select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
+        assert sims[1] == sims[2] != sims[3]

@@ -1080,3 +1080,16 @@ class TestBlocklistFilter:
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             blocklist_filter(df, "doc_id", "text", [])
+
+
+def test_simhash_column_matches_simhash_table(spark):
+    """The single-Column simhash fold and the explode+agg
+    simhash_table must produce identical signatures (the streaming
+    near-dup path keys on the Column form; the batch oracle-gated
+    entry uses the table form)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    via_col = {r["doc_id"]: r["s"] for r in docs.select(
+        "doc_id", D.simhash(F.col("text")).alias("s")).collect()}
+    via_tbl = {r["doc_id"]: r["sim"] for r in D.simhash_table(
+        docs, "doc_id", "text").collect()}
+    assert via_col == via_tbl
