@@ -1093,3 +1093,33 @@ def test_simhash_column_matches_simhash_table(spark):
     via_tbl = {r["doc_id"]: r["sim"] for r in D.simhash_table(
         docs, "doc_id", "text").collect()}
     assert via_col == via_tbl
+
+
+def test_weighted_interleave_random_weights_property(spark):
+    """Property over random weight maps: positions unique, every FULL
+    block follows the declared slot pattern, ranks within a stratum
+    appear in hash order."""
+    import random as _r
+
+    rng = _r.Random(7)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    from fences_spark.operators.sampling import weighted_interleave
+
+    for trial in range(3):
+        chosen = rng.sample(langs, k=min(3, len(langs)))
+        weights = {s: rng.randint(1, 4) for s in chosen}
+        W = sum(weights.values())
+        pattern = [s for s in weights for _ in range(weights[s])]
+        out = weighted_interleave(docs, "doc_id", "lang", weights,
+                                  salt=f"t{trial}").collect()
+        poss = [r["pos"] for r in out]
+        assert len(poss) == len(set(poss)), weights
+        by_pos = {r["pos"]: r["stratum"] for r in out}
+        b = 0
+        full = 0
+        while all(b * W + i in by_pos for i in range(W)) and full < 5:
+            assert [by_pos[b * W + i] for i in range(W)] == pattern, (weights, b)
+            b += 1
+            full += 1
+        assert full >= 1, (weights, "no full block")
