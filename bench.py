@@ -64,6 +64,7 @@ HEADLINE = [
     "decontaminate_docs",
     "redact_docs",
     "blocklist_docs",
+    "length_band_docs",
     "shuffle_shard_docs",
 ]
 

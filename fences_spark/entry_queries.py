@@ -2229,6 +2229,33 @@ ORDER BY doc_id
 """
 
 
+def q_length_band_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-quantile length-band gate: keep documents whose token
+    count lies within the corpus [p5, p95] band (exact percentile for
+    the oracle; percentile_approx is the 100 TB path)."""
+    from fences_spark.operators.curate import length_band_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_band_filter(docs, "doc_id", "text", p_lo=0.05, p_hi=0.95)
+
+
+SQL_LENGTH_BAND_DOCS = """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+), band AS (
+  SELECT round(quantile_cont(n_tokens, 0.05), 6) AS lo,
+         round(quantile_cont(n_tokens, 0.95), 6) AS hi
+  FROM toks
+)
+SELECT doc_id, n_tokens, lo, hi,
+       (n_tokens >= lo AND n_tokens <= hi) AS keep
+FROM toks, band
+ORDER BY doc_id
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving image resize over the media projection of
     documents: output geometry is integer Column algebra (JVM), only
@@ -2451,6 +2478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": q_multimodal_resize,
     "mix_interleave_docs": q_mix_interleave_docs,
     "blocklist_docs": q_blocklist_docs,
+    "length_band_docs": q_length_band_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "redact_docs": q_redact_docs,
     "shuffle_shard_docs": q_shuffle_shard_docs,
@@ -2495,6 +2523,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "mix_interleave_docs": SQL_MIX_INTERLEAVE_DOCS,
     "blocklist_docs": SQL_BLOCKLIST_DOCS,
+    "length_band_docs": SQL_LENGTH_BAND_DOCS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "redact_docs": SQL_REDACT_DOCS,
     "shuffle_shard_docs": SQL_SHUFFLE_SHARD_DOCS,

@@ -218,3 +218,48 @@ def blocklist_filter(
         (F.size(matches) > 0).alias("blocked"),
         F.try_element_at(matches, F.lit(1)).alias("matched_domain"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus-quantile length-band filter
+# ---------------------------------------------------------------------------
+
+
+def length_band_filter(
+    df: DataFrame, id_col: str, text_col: str, *,
+    p_lo: float = 0.05, p_hi: float = 0.95, approx: bool = False,
+) -> DataFrame:
+    """(doc_id, n_tokens, lo, hi, keep) — drop documents whose token
+    count falls outside the corpus's [p_lo, p_hi] quantile band: the
+    too-short/too-long outlier gate of a curation pipeline, with the
+    thresholds DERIVED FROM THE CORPUS rather than hand-tuned.  No
+    reference precedent (SURVEY.md §2.F).
+
+    Execution shape: token counts are one narrow projection; the two
+    quantiles are ONE global aggregate reduced to a single row that
+    Catalyst turns into a broadcast nested-loop join of a 1-row
+    relation (no shuffle of the corpus side); the verdict is then a
+    codegen'd comparison.  ``approx=True`` swaps exact ``percentile``
+    for the `percentile_approx` sketch — the 100 TB path, where an
+    exact global sort-based quantile is needless (the band edges are
+    heuristic); exact mode exists for the cross-engine oracle.
+    Quantiles are 6-dp rounded so the keep verdict is bit-identical
+    across engines."""
+    fn = F.percentile_approx if approx else F.percentile
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    band = toks.agg(
+        F.round(fn("n_tokens", F.lit(p_lo)), 6).alias("lo"),
+        F.round(fn("n_tokens", F.lit(p_hi)), 6).alias("hi"),
+    )
+    return (
+        toks.crossJoin(F.broadcast(band))
+        .select(
+            "doc_id", "n_tokens", "lo", "hi",
+            ((F.col("n_tokens") >= F.col("lo"))
+             & (F.col("n_tokens") <= F.col("hi"))).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

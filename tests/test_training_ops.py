@@ -1123,3 +1123,24 @@ def test_weighted_interleave_random_weights_property(spark):
             b += 1
             full += 1
         assert full >= 1, (weights, "no full block")
+
+
+class TestLengthBandFilter:
+    def test_band_semantics_and_approx_path(self, spark):
+        from fences_spark.operators.curate import length_band_filter
+
+        rows = [(i, "w " * n) for i, n in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in
+               length_band_filter(df, "doc_id", "text", p_lo=0.1, p_hi=0.9).collect()}
+        # exact percentile (linear interp over 10 values): p10=1.9, p90=9+0.9*91... no:
+        # sorted counts [1..9,100]; p90 index = 0.9*9 = 8.1 -> 9 + 0.1*(100-9)
+        assert out[0]["keep"] is False          # n=1 < 1.9
+        assert all(out[i]["keep"] for i in range(1, 9))
+        assert out[9]["keep"] is False          # n=100 > 18.1
+        assert out[0]["lo"] == 1.9
+        assert out[0]["hi"] == pytest.approx(9 + 0.1 * 91, abs=1e-6)
+        # approx path: same shape, plausible thresholds, all columns
+        a = length_band_filter(df, "doc_id", "text", p_lo=0.1, p_hi=0.9, approx=True)
+        arows = a.collect()
+        assert len(arows) == 10 and set(a.columns) == {"doc_id", "n_tokens", "lo", "hi", "keep"}
