@@ -39,6 +39,7 @@ HEADLINE = [
     "winnow_docs",
     "repetition_docs",
     "curate_documents",
+    "curate_full_docs",
     "token_topk_docs",
     "chunk_docs",
     "tfidf_topterms_docs",

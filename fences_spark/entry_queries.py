@@ -1126,6 +1126,158 @@ ORDER BY doc_id
 """
 
 
+def q_curate_full_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END composed curation verdict: all eight signals
+    (eval holdout, decontamination, domain blocklist, length band,
+    quality, repetition, dup spans, exact dedup) in ONE plan, over
+    text deterministically enriched with URLs so the blocklist
+    signal is live."""
+    from fences_spark.operators.curate import curate_documents_full
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    enriched = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 1, F.lit(" see https://ok.example.org/page"))
+         .when(did % 4 == 2, F.concat(F.lit(" via http://ads.tracker.net/x"), s(did)))
+         .when(did % 4 == 3, F.lit(" and https://cdn.spam-site.com/y"))
+         .otherwise(F.lit("")),
+    )
+    return curate_documents_full(
+        docs.select("doc_id", enriched.alias("text")),
+        "doc_id",
+        "text",
+        blocked_domains=["tracker.net", "spam-site.com"],
+    )
+
+
+def _sql_curate_full() -> str:
+    """DuckDB mirror of curate_documents_full over the same enriched
+    text: every CTE of the base curate oracle plus the eval split,
+    gram-overlap contamination, quantile length band, and domain
+    blocklist, composed with identical 6-dp thresholds and reason
+    order."""
+    return f"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 4 = 1 THEN ' see https://ok.example.org/page'
+           WHEN doc_id % 4 = 2 THEN ' via http://ads.tracker.net/x' || doc_id::VARCHAR
+           WHEN doc_id % 4 = 3 THEN ' and https://cdn.spam-site.com/y'
+           ELSE '' END AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM enriched
+), feat AS (
+  SELECT doc_id, text, toks,
+    ROUND(CASE WHEN len(toks) > 0
+               THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+               ELSE 0.0 END, 6) AS mtl,
+    ROUND(CASE WHEN length(text) > 0
+               THEN len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text)
+               ELSE 0.0 END, 6) AS ar,
+    ROUND(CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, x -> x IN ({_SW_EN})))::DOUBLE / len(toks)
+               ELSE 0.0 END, 6) AS sr
+  FROM t
+), q AS (
+  SELECT doc_id,
+    ROUND((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN mtl >= 2.5 AND mtl <= 12 THEN 0.25 ELSE 0.0 END)
+        + least(ar / 0.7::DOUBLE, 1.0::DOUBLE) * 0.25
+        + least(sr / 0.2::DOUBLE, 1.0::DOUBLE) * 0.25, 6) AS quality,
+    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM feat
+), keepers AS (
+  SELECT fp, MIN(doc_id) AS keep_id FROM q GROUP BY fp
+), c3 AS (
+  SELECT doc_id, gram, COUNT(*)::BIGINT AS c FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(1, len(toks) - 1),
+                                           i -> array_to_string(toks[i:i+2], ' '))
+                       ELSE [array_to_string(toks, ' ')] END) AS gram
+    FROM t) GROUP BY 1, 2
+), rep AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / SUM(c), 6) AS rep3
+  FROM c3 GROUP BY 1
+), hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT AS h FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 5
+                       THEN list_transform(range(1, len(toks) - 3),
+                                           i -> array_to_string(toks[i:i+4], ' '))
+                       ELSE [array_to_string(toks, ' ')] END) AS gram
+    FROM t)
+), counts AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h
+), span AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS span_ratio
+  FROM hashed JOIN counts USING (h) GROUP BY doc_id
+), split AS (
+  SELECT doc_id, substring(md5(doc_id::VARCHAR), 1, 4) < '0ccc' AS is_eval
+  FROM enriched
+), evh AS (
+  SELECT DISTINCT h FROM hashed JOIN split USING (doc_id) WHERE is_eval
+), contam AS (
+  SELECT hashed.doc_id, COUNT(evh.h) > 0 AS contaminated
+  FROM hashed JOIN split USING (doc_id) LEFT JOIN evh ON hashed.h = evh.h
+  WHERE NOT is_eval
+  GROUP BY hashed.doc_id
+), nt AS (
+  SELECT doc_id, len(toks)::BIGINT AS n FROM t
+), band AS (
+  SELECT ROUND(quantile_cont(n, 0.05), 6) AS lo,
+         ROUND(quantile_cont(n, 0.95), 6) AS hi
+  FROM nt
+), blk AS (
+  SELECT doc_id,
+         len(list_filter(
+           list_sort(list_distinct(regexp_extract_all(lower(text), 'https?://([a-z0-9.-]+)', 1))),
+           x -> x = 'tracker.net' OR x LIKE '%.tracker.net'
+             OR x = 'spam-site.com' OR x LIKE '%.spam-site.com')) > 0 AS blocked
+  FROM enriched
+), j AS (
+  SELECT q.doc_id, quality,
+         COALESCE(rep3, 0.0) AS rep3,
+         COALESCE(span_ratio, 0.0) AS span_ratio,
+         (q.doc_id = keep_id) AS is_canonical,
+         is_eval,
+         COALESCE(contaminated, FALSE) AS contaminated,
+         (n >= lo AND n <= hi) AS in_band,
+         blocked
+  FROM q JOIN keepers USING (fp)
+  LEFT JOIN rep ON rep.doc_id = q.doc_id
+  LEFT JOIN span ON span.doc_id = q.doc_id
+  JOIN split ON split.doc_id = q.doc_id
+  LEFT JOIN contam ON contam.doc_id = q.doc_id
+  JOIN nt ON nt.doc_id = q.doc_id
+  JOIN blk ON blk.doc_id = q.doc_id
+  CROSS JOIN band
+)
+SELECT doc_id,
+       NOT (is_eval OR contaminated OR blocked OR NOT in_band
+            OR quality < 0.8::DOUBLE OR rep3 > 0.1::DOUBLE
+            OR span_ratio > 0.5::DOUBLE OR NOT is_canonical) AS keep,
+       concat_ws(',',
+         CASE WHEN is_eval THEN 'eval_holdout' END,
+         CASE WHEN contaminated THEN 'contaminated' END,
+         CASE WHEN blocked THEN 'blocked_domain' END,
+         CASE WHEN NOT in_band THEN 'out_of_band' END,
+         CASE WHEN quality < 0.8::DOUBLE THEN 'low_quality' END,
+         CASE WHEN rep3 > 0.1::DOUBLE THEN 'repetitive' END,
+         CASE WHEN span_ratio > 0.5::DOUBLE THEN 'dup_spans' END,
+         CASE WHEN NOT is_canonical THEN 'exact_dup' END) AS reasons
+FROM j
+ORDER BY doc_id
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for the first 20 vectors
     (broadcast corpus, zip_with/aggregate dot product)."""
@@ -2479,6 +2631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_interleave_docs": q_mix_interleave_docs,
     "blocklist_docs": q_blocklist_docs,
     "length_band_docs": q_length_band_docs,
+    "curate_full_docs": q_curate_full_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "redact_docs": q_redact_docs,
     "shuffle_shard_docs": q_shuffle_shard_docs,
@@ -2524,6 +2677,7 @@ ORACLE_SQL: dict[str, str] = {
     "mix_interleave_docs": SQL_MIX_INTERLEAVE_DOCS,
     "blocklist_docs": SQL_BLOCKLIST_DOCS,
     "length_band_docs": SQL_LENGTH_BAND_DOCS,
+    "curate_full_docs": _sql_curate_full(),
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "redact_docs": SQL_REDACT_DOCS,
     "shuffle_shard_docs": SQL_SHUFFLE_SHARD_DOCS,

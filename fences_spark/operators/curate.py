@@ -25,6 +25,47 @@ from fences_spark.operators.dedup import (
 from fences_spark.operators.text import doc_fingerprint, quality_score
 
 
+def _base_signals(base: DataFrame, *, span_k: int = 5) -> DataFrame:
+    """(doc_id, quality, rep3, span_ratio, is_canonical) — the four
+    per-document content signals shared by the composed verdicts."""
+    q = base.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    keepers = q.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+
+    g3 = base.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("gram"),
+    )
+    c3 = g3.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    rep = c3.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c"),
+            6,
+        ).alias("rep3")
+    )
+
+    span = dup_span_stats(base, "doc_id", "text", k=span_k).select(
+        "doc_id", "dup_ratio"
+    )
+
+    return (
+        q.join(keepers, "fp")
+        .join(rep, "doc_id", "left")
+        .join(span, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            F.coalesce(F.col("rep3"), F.lit(0.0)).alias("rep3"),
+            F.coalesce(F.col("dup_ratio"), F.lit(0.0)).alias("span_ratio"),
+            (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
+        )
+    )
+
+
 def curate_documents(
     df: DataFrame,
     id_col: str,
@@ -51,43 +92,7 @@ def curate_documents(
     base = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-
-    q = base.select(
-        "doc_id",
-        quality_score(F.col("text")).alias("quality"),
-        doc_fingerprint(F.col("text")).alias("fp"),
-    )
-    keepers = q.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-
-    g3 = base.select(
-        "doc_id",
-        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("gram"),
-    )
-    c3 = g3.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    rep = c3.groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
-            / F.sum("c"),
-            6,
-        ).alias("rep3")
-    )
-
-    span = dup_span_stats(base, "doc_id", "text", k=span_k).select(
-        "doc_id", "dup_ratio"
-    )
-
-    j = (
-        q.join(keepers, "fp")
-        .join(rep, "doc_id", "left")
-        .join(span, "doc_id", "left")
-        .select(
-            "doc_id",
-            "quality",
-            F.coalesce(F.col("rep3"), F.lit(0.0)).alias("rep3"),
-            F.coalesce(F.col("dup_ratio"), F.lit(0.0)).alias("span_ratio"),
-            (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
-        )
-    )
+    j = _base_signals(base, span_k=span_k)
 
     flags = [
         ("low_quality", F.col("quality") < F.lit(min_quality)),
@@ -262,4 +267,96 @@ def length_band_filter(
              & (F.col("n_tokens") <= F.col("hi"))).alias("keep"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# full composed curation verdict (all engine signals)
+# ---------------------------------------------------------------------------
+
+
+def curate_documents_full(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_quality: float = 0.8,
+    max_dup3gram: float = 0.1,
+    max_dup_span: float = 0.5,
+    span_k: int = 5,
+    eval_frac: float = 0.05,
+    blocked_domains: list[str] | None = None,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """(doc_id, keep, reasons) — the END-TO-END keep/drop verdict
+    composing every curation signal the engine implements, in one
+    plan: eval holdout exclusion, benchmark decontamination, domain
+    blocklist, corpus-quantile length band, quality floor, Gopher
+    repetition, Lee duplicate spans, exact-dedup canonicalization.
+    Reason order (machine-readable, comma-joined): ``eval_holdout,
+    contaminated, blocked_domain, out_of_band, low_quality,
+    repetitive, dup_spans, exact_dup``.
+
+    Execution shape: every signal reduces to a doc_id-keyed relation
+    — the assembly is a chain of co-partitioned left joins (AQE
+    coalesces the exchanges); the eval gram set broadcasts
+    (decontaminate); the length band broadcasts as a 1-row relation;
+    the blocklist folds into the projection.  All thresholds compare
+    6-dp-rounded doubles (bit-identical cross-engine).
+    """
+    from fences_spark.operators.sampling import hash_bucket, threshold_hex
+
+    base = ensure_parallelism(df, id_col).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    sig = _base_signals(base, span_k=span_k)
+
+    is_eval_col = hash_bucket(F.col("doc_id")) < F.lit(threshold_hex(eval_frac))
+    split = base.withColumn("is_eval", is_eval_col)
+    decon = decontaminate(
+        split.filter(~F.col("is_eval")),
+        split.filter(F.col("is_eval")),
+        "doc_id",
+        "text",
+        k=span_k,
+    ).select("doc_id", "contaminated")
+
+    band = length_band_filter(base, "doc_id", "text", p_lo=p_lo, p_hi=p_hi).select(
+        "doc_id", F.col("keep").alias("in_band")
+    )
+
+    blk = blocklist_filter(
+        base, "doc_id", "text", blocked_domains or ["tracker.net"]
+    ).select("doc_id", "blocked")
+
+    j = (
+        sig.join(split.select("doc_id", "is_eval"), "doc_id")
+        .join(decon, "doc_id", "left")
+        .join(band, "doc_id")
+        .join(blk, "doc_id")
+        .select(
+            "doc_id", "quality", "rep3", "span_ratio", "is_canonical",
+            "is_eval",
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+            "in_band", "blocked",
+        )
+    )
+
+    flags = [
+        ("eval_holdout", F.col("is_eval")),
+        ("contaminated", F.col("contaminated")),
+        ("blocked_domain", F.col("blocked")),
+        ("out_of_band", ~F.col("in_band")),
+        ("low_quality", F.col("quality") < F.lit(min_quality)),
+        ("repetitive", F.col("rep3") > F.lit(max_dup3gram)),
+        ("dup_spans", F.col("span_ratio") > F.lit(max_dup_span)),
+        ("exact_dup", ~F.col("is_canonical")),
+    ]
+    reasons = F.concat_ws(",", *[F.when(cond, F.lit(name)) for name, cond in flags])
+    keep = F.lit(True)
+    for _name, cond in flags:
+        keep = keep & ~cond
+    return j.select("doc_id", keep.alias("keep"), reasons.alias("reasons")).orderBy(
+        "doc_id"
     )

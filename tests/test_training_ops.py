@@ -1144,3 +1144,50 @@ class TestLengthBandFilter:
         a = length_band_filter(df, "doc_id", "text", p_lo=0.1, p_hi=0.9, approx=True)
         arows = a.collect()
         assert len(arows) == 10 and set(a.columns) == {"doc_id", "n_tokens", "lo", "hi", "keep"}
+
+
+class TestCurateFull:
+    def test_reason_composition_on_synthetic_corpus(self, spark):
+        from fences_spark.operators.curate import curate_documents_full
+
+        good = "the quick brown fox jumps over the lazy dog and then the dog sleeps"
+        rows = (
+            # healthy docs with distinct-enough text (keep expected for most)
+            [(i, good + f" extra words number {i} for variety") for i in range(100, 140)]
+            # blocked URL doc
+            + [(200, good + " via http://ads.bad.net/x")]
+            # extreme length outlier (way above p95)
+            + [(201, "w " * 5000)]
+        )
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in curate_documents_full(
+            df, "doc_id", "text", blocked_domains=["bad.net"]).collect()}
+        assert len(out) == len(rows)
+        assert "blocked_domain" in out[200]["reasons"]
+        assert "out_of_band" in out[201]["reasons"]
+        assert out[201]["keep"] is False
+        # reasons are ordered per the documented flag order
+        for r in out.values():
+            names = [x for x in r["reasons"].split(",") if x]
+            order = ["eval_holdout", "contaminated", "blocked_domain", "out_of_band",
+                     "low_quality", "repetitive", "dup_spans", "exact_dup"]
+            assert names == sorted(names, key=order.index)
+            assert r["keep"] is (len(names) == 0)
+
+    def test_eval_holdout_and_contamination(self, spark):
+        from fences_spark.operators.curate import curate_documents_full
+        from fences_spark.operators.sampling import hash_bucket, threshold_hex
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+        out = {r["doc_id"]: r for r in curate_documents_full(
+            docs, "doc_id", "text", blocked_domains=["never.invalid"]).collect()}
+        evals = {r["doc_id"] for r in docs.filter(
+            hash_bucket(F.col("doc_id")) < F.lit(threshold_hex(0.05))).collect()}
+        assert evals  # the 5% split is non-empty at sf0.001
+        for did in evals:
+            assert "eval_holdout" in out[did]["reasons"]
+            assert out[did]["keep"] is False
+        # contamination only ever fires on non-eval docs
+        for did, r in out.items():
+            if "contaminated" in r["reasons"]:
+                assert did not in evals
