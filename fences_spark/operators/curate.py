@@ -304,6 +304,14 @@ def curate_documents_full(
     (decontaminate); the length band broadcasts as a 1-row relation;
     the blocklist folds into the projection.  All thresholds compare
     6-dp-rounded doubles (bit-identical cross-engine).
+
+    Scale note: the signal subtrees are independent, so Catalyst
+    plans one SCAN PER SIGNAL (~8 passes over (doc_id, text)).  At
+    small scale the OS page cache absorbs this; at 100 TB persist the
+    two-column projection first (``df.select(id, text).persist(
+    StorageLevel.DISK_ONLY)`` or a materialized staging table) so
+    every signal reads the cached columnar form instead of re-decoding
+    parquet — the join chain itself is already shuffle-minimal.
     """
     from fences_spark.operators.sampling import hash_bucket, threshold_hex
 
