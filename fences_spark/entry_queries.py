@@ -1134,18 +1134,8 @@ def q_curate_full_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal is live."""
     from fences_spark.operators.curate import curate_documents_full
 
-    docs = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    s = lambda c: c.cast("string")  # noqa: E731
-    enriched = F.concat(
-        F.col("text"),
-        F.when(did % 4 == 1, F.lit(" see https://ok.example.org/page"))
-         .when(did % 4 == 2, F.concat(F.lit(" via http://ads.tracker.net/x"), s(did)))
-         .when(did % 4 == 3, F.lit(" and https://cdn.spam-site.com/y"))
-         .otherwise(F.lit("")),
-    )
     return curate_documents_full(
-        docs.select("doc_id", enriched.alias("text")),
+        _enrich_urls(_t(spark, sf_dir, "documents")),
         "doc_id",
         "text",
         blocked_domains=["tracker.net", "spam-site.com"],
@@ -1159,15 +1149,7 @@ def _sql_curate_full() -> str:
     blocklist, composed with identical 6-dp thresholds and reason
     order."""
     return f"""
-WITH enriched AS (
-  SELECT doc_id,
-         text || CASE
-           WHEN doc_id % 4 = 1 THEN ' see https://ok.example.org/page'
-           WHEN doc_id % 4 = 2 THEN ' via http://ads.tracker.net/x' || doc_id::VARCHAR
-           WHEN doc_id % 4 = 3 THEN ' and https://cdn.spam-site.com/y'
-           ELSE '' END AS text
-  FROM documents
-), t AS (
+WITH {_URL_ENRICH_SQL_CTE}, t AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
   FROM enriched
@@ -2331,32 +2313,7 @@ ORDER BY pos
 """
 
 
-def q_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-blocklist gate over deterministically planted URLs (the
-    raw corpus has none): docs get an allowed / blocked / subdomain-
-    blocked URL as a pure function of doc_id."""
-    from fences_spark.operators.curate import blocklist_filter
-
-    docs = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    s = lambda c: c.cast("string")  # noqa: E731
-    enriched = F.concat(
-        F.col("text"),
-        F.when(did % 4 == 1, F.lit(" see https://ok.example.org/page"))
-         .when(did % 4 == 2, F.concat(F.lit(" via http://ads.tracker.net/x"), s(did)))
-         .when(did % 4 == 3, F.lit(" and https://cdn.spam-site.com/y"))
-         .otherwise(F.lit("")),
-    )
-    return blocklist_filter(
-        docs.select("doc_id", enriched.alias("text")),
-        "doc_id",
-        "text",
-        ["tracker.net", "spam-site.com"],
-    )
-
-
-SQL_BLOCKLIST_DOCS = """
-WITH enriched AS (
+_URL_ENRICH_SQL_CTE = """enriched AS (
   SELECT doc_id,
          text || CASE
            WHEN doc_id % 4 = 1 THEN ' see https://ok.example.org/page'
@@ -2364,7 +2321,40 @@ WITH enriched AS (
            WHEN doc_id % 4 = 3 THEN ' and https://cdn.spam-site.com/y'
            ELSE '' END AS text
   FROM documents
-), doms AS (
+)"""
+
+
+def _enrich_urls(docs: DataFrame) -> DataFrame:
+    """Plant an allowed / blocked / subdomain-blocked URL on 3/4 of
+    documents as a pure function of doc_id — shared by the blocklist
+    and full-curation entries; `_URL_ENRICH_SQL_CTE` is the oracle's
+    byte-identical mirror."""
+    did = F.col("doc_id")
+    enriched = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 1, F.lit(" see https://ok.example.org/page"))
+         .when(did % 4 == 2,
+               F.concat(F.lit(" via http://ads.tracker.net/x"), did.cast("string")))
+         .when(did % 4 == 3, F.lit(" and https://cdn.spam-site.com/y"))
+         .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", enriched.alias("text"))
+
+
+def q_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist gate over deterministically planted URLs (the
+    raw corpus has none)."""
+    from fences_spark.operators.curate import blocklist_filter
+
+    return blocklist_filter(
+        _enrich_urls(_t(spark, sf_dir, "documents")),
+        "doc_id",
+        "text",
+        ["tracker.net", "spam-site.com"],
+    )
+
+
+SQL_BLOCKLIST_DOCS = "WITH " + _URL_ENRICH_SQL_CTE + """, doms AS (
   SELECT doc_id,
          list_sort(list_distinct(regexp_extract_all(lower(text), 'https?://([a-z0-9.-]+)', 1))) AS d
   FROM enriched

@@ -66,6 +66,19 @@ def _base_signals(base: DataFrame, *, span_k: int = 5) -> DataFrame:
     )
 
 
+def _verdict(j: DataFrame, flags: list) -> DataFrame:
+    """(doc_id, keep, reasons) from a signal frame + ordered
+    (name, fired-condition) flags; concat_ws skips nulls so un-fired
+    flags vanish from the reasons list."""
+    reasons = F.concat_ws(",", *[F.when(cond, F.lit(name)) for name, cond in flags])
+    keep = F.lit(True)
+    for _name, cond in flags:
+        keep = keep & ~cond
+    return j.select("doc_id", keep.alias("keep"), reasons.alias("reasons")).orderBy(
+        "doc_id"
+    )
+
+
 def curate_documents(
     df: DataFrame,
     id_col: str,
@@ -100,14 +113,7 @@ def curate_documents(
         ("dup_spans", F.col("span_ratio") > F.lit(max_dup_span)),
         ("exact_dup", ~F.col("is_canonical")),
     ]
-    # concat_ws skips nulls, so un-fired flags vanish from the list
-    reasons = F.concat_ws(
-        ",", *[F.when(cond, F.lit(name)) for name, cond in flags]
-    )
-    keep = ~flags[0][1] & ~flags[1][1] & ~flags[2][1] & ~flags[3][1]
-    return j.select(
-        "doc_id", keep.alias("keep"), reasons.alias("reasons")
-    ).orderBy("doc_id")
+    return _verdict(j, flags)
 
 
 # ---------------------------------------------------------------------------
@@ -334,9 +340,14 @@ def curate_documents_full(
         "doc_id", F.col("keep").alias("in_band")
     )
 
-    blk = blocklist_filter(
-        base, "doc_id", "text", blocked_domains or ["tracker.net"]
-    ).select("doc_id", "blocked")
+    # no blocklist given → the signal is OFF (never silently block
+    # against some default domain list)
+    if blocked_domains:
+        blk = blocklist_filter(base, "doc_id", "text", blocked_domains).select(
+            "doc_id", "blocked"
+        )
+    else:
+        blk = base.select("doc_id", F.lit(False).alias("blocked"))
 
     j = (
         sig.join(split.select("doc_id", "is_eval"), "doc_id")
@@ -361,10 +372,4 @@ def curate_documents_full(
         ("dup_spans", F.col("span_ratio") > F.lit(max_dup_span)),
         ("exact_dup", ~F.col("is_canonical")),
     ]
-    reasons = F.concat_ws(",", *[F.when(cond, F.lit(name)) for name, cond in flags])
-    keep = F.lit(True)
-    for _name, cond in flags:
-        keep = keep & ~cond
-    return j.select("doc_id", keep.alias("keep"), reasons.alias("reasons")).orderBy(
-        "doc_id"
-    )
+    return _verdict(j, flags)

@@ -195,6 +195,8 @@ def weighted_interleave(
         offsets[s] = acc
         acc += w
 
+    # h is computed inside the same select that renames key_col, so it
+    # resolves against the ORIGINAL column for any key_col name
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt + "#"), F.col(key_col).cast("string"))), 1, 15
@@ -211,9 +213,9 @@ def weighted_interleave(
         df.select(
             F.col(key_col).alias("doc_id"),
             F.col(stratum_col).alias("stratum"),
+            h.alias("h"),
         )
         .filter(F.col("stratum").isin(list(weights)))
-        .withColumn("h", h)
         .withColumn("r", F.row_number().over(win) - 1)
         .select(
             "doc_id",

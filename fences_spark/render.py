@@ -95,20 +95,30 @@ def _option_nodes(dot: _Dot, opt: Any, defs_ids: dict[str, str]) -> str:
     return and_id
 
 
-def schema_dot(schema: Any, name: str = "rule") -> str:
-    """DOT digraph of one rule's normalized DNF tree."""
+def _emit_schema(dot: _Dot, schema: Any, root_label: str) -> None:
+    """Normalize one schema and emit its $defs subgraphs plus a
+    doubleoctagon root pointing at the DNF tree."""
     norm = normalize(schema)
-    dot = _Dot()
     defs_ids: dict[str, str] = {}
-    for key, sub in norm.get("$defs", {}).items():
+    for key in norm.get("$defs", {}):
         defs_ids[key] = dot.node(f"$defs/{key}", shape="rect",
                                  fillcolor="lightgray", style="filled")
     for key, sub in norm.get("$defs", {}).items():
         dot.edge(defs_ids[key], _schema_nodes(dot, sub, defs_ids))
-    root = dot.node(name, shape="doubleoctagon")
+    root = dot.node(root_label, shape="doubleoctagon")
     dot.edge(root, _schema_nodes(dot, {k: v for k, v in norm.items()
                                        if k != "$defs"}, defs_ids))
+
+
+def _render(dot: _Dot) -> str:
     return "digraph rules {\n" + "\n".join(dot.lines) + "\n}\n"
+
+
+def schema_dot(schema: Any, name: str = "rule") -> str:
+    """DOT digraph of one rule's normalized DNF tree."""
+    dot = _Dot()
+    _emit_schema(dot, schema, name)
+    return _render(dot)
 
 
 def ruleset_dot(ruleset) -> str:
@@ -116,15 +126,5 @@ def ruleset_dot(ruleset) -> str:
     labeled ``rule_id @ column [mode]``."""
     dot = _Dot()
     for r in ruleset.rules:
-        root = dot.node(f"{r.rule_id} @ {r.column} [{r.mode}]",
-                        shape="doubleoctagon")
-        norm = normalize(r.schema)
-        defs_ids: dict[str, str] = {}
-        for key in norm.get("$defs", {}):
-            defs_ids[key] = dot.node(f"$defs/{key}", shape="rect",
-                                     fillcolor="lightgray", style="filled")
-        for key, sub in norm.get("$defs", {}).items():
-            dot.edge(defs_ids[key], _schema_nodes(dot, sub, defs_ids))
-        dot.edge(root, _schema_nodes(dot, {k: v for k, v in norm.items()
-                                           if k != "$defs"}, defs_ids))
-    return "digraph rules {\n" + "\n".join(dot.lines) + "\n}\n"
+        _emit_schema(dot, r.schema, f"{r.rule_id} @ {r.column} [{r.mode}]")
+    return _render(dot)

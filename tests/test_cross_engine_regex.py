@@ -37,12 +37,36 @@ FRAGMENTS = [
 GLUE = [" ", ".", ",", ";", "|", "\n", " und ", "»", "🚀", "--"]
 
 
+def _divergence_prone(s: str) -> bool:
+    """True when an ASCII word char directly abuts a NON-ASCII word
+    character — the documented Java/RE2 \\b divergence domain.  The
+    glue choice alone does not prevent this: fragment EDGES can meet
+    through word-transparent glue (e.g. '数字123' + '.' + '1.2.3'
+    puts 数 and 1 inside one \\b-relevant run), so composites are
+    filtered on the final string, not on the glue."""
+    for a, b in zip(s, s[1:]):
+        aw, bw = (a.isalnum() or a == "_"), (b.isalnum() or b == "_")
+        if aw and bw and (a.isascii() != b.isascii()):
+            return True
+    # digits separated only by '.' can also fuse into one candidate
+    # run whose edge chars differ in ASCII-ness (the ipv4 pattern
+    # consumes dots), so scan dot-joined neighbours too
+    for i in range(1, len(s) - 1):
+        if s[i] == ".":
+            a, b = s[i - 1], s[i + 1]
+            if (a.isalnum() and b.isalnum()) and (a.isascii() != b.isascii()):
+                return True
+    return False
+
+
 def _corpus(n: int = 400, seed: int = 20260818) -> list[str]:
     rng = random.Random(seed)
-    rows = list(FRAGMENTS)
-    for _ in range(n - len(FRAGMENTS)):
+    rows = [f for f in FRAGMENTS if not _divergence_prone(f)]
+    while len(rows) < n:
         k = rng.randint(1, 5)
-        rows.append(rng.choice(GLUE).join(rng.choice(FRAGMENTS) for _ in range(k)))
+        cand = rng.choice(GLUE).join(rng.choice(FRAGMENTS) for _ in range(k))
+        if not _divergence_prone(cand):
+            rows.append(cand)
     return rows
 
 

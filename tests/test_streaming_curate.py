@@ -287,8 +287,12 @@ class TestStreamingNearDup:
         base = "the quick brown fox jumps over the lazy dog again and again"
         rows = [
             (1, base, T0),
-            # near-duplicate (one token changed): same SimHash bucket
-            (2, base.replace("lazy", "lazy "), T0 + timedelta(minutes=1)),
+            # near-duplicate: two tokens SWAPPED — SimHash is a bag of
+            # token votes (order-insensitive, signature collides) but
+            # the normalized-content md5 differs, so the default exact
+            # fingerprint would NOT suppress this row; only the
+            # key_expr=simhash path can
+            (2, base.replace("quick brown", "brown quick"), T0 + timedelta(minutes=1)),
             # genuinely different document: survives
             (3, "completely unrelated text about spark shuffles and joins", T0 + timedelta(minutes=2)),
         ]
@@ -302,7 +306,16 @@ class TestStreamingNearDup:
         kept = sorted(r["doc_id"] for r in spark.read.parquet(cfg.dedup_path).collect())
         assert kept == [1, 3]
 
-        # sanity: the two near-dups really do share a SimHash; doc 3 doesn't
-        sims = {r["doc_id"]: r["sh"] for r in spark.createDataFrame(rows, DOC_SCHEMA)
+        # sanity: the near-dups share a SimHash but NOT the exact
+        # fingerprint (so this test would catch a regression that
+        # ignored key_expr and fell back to exact dedup); doc 3 shares
+        # neither
+        df3 = spark.createDataFrame(rows, DOC_SCHEMA)
+        sims = {r["doc_id"]: r["sh"] for r in df3
                 .select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
         assert sims[1] == sims[2] != sims[3]
+        fps = {r["doc_id"]: r["fp"] for r in df3.select(
+            "doc_id",
+            F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))).alias("fp"),
+        ).collect()}
+        assert fps[1] != fps[2]

@@ -1191,3 +1191,29 @@ class TestCurateFull:
         for did, r in out.items():
             if "contaminated" in r["reasons"]:
                 assert did not in evals
+
+
+def test_weighted_interleave_non_doc_id_key(spark):
+    """Regression: the hash column must resolve against the ORIGINAL
+    key column name, which the projection renames to doc_id."""
+    from fences_spark.operators.sampling import weighted_interleave
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(20)], ["vec_id", "lang"]
+    )
+    out = weighted_interleave(df, "vec_id", "lang", {"en": 1, "de": 1}).collect()
+    assert len(out) == 20
+    assert {r["doc_id"] for r in out} == set(range(20))
+
+
+def test_curate_full_no_blocklist_disables_signal(spark):
+    """Regression: omitting blocked_domains must turn the blocklist
+    signal OFF, not silently block against a default domain."""
+    from fences_spark.operators.curate import curate_documents_full
+
+    df = spark.createDataFrame(
+        [(i, f"good distinct document number {i} via http://ads.tracker.net/x") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    out = curate_documents_full(df, "doc_id", "text").collect()
+    assert all("blocked_domain" not in r["reasons"] for r in out)
