@@ -46,6 +46,7 @@ HEADLINE = [
     "pack_docs",
     "mix_quota_docs",
     "mix_interleave_docs",
+    "quality_pct_docs",
     "asof_click_purchase",
     "range_view_error",
     "sessionize_events",

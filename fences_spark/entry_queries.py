@@ -2373,6 +2373,50 @@ ORDER BY doc_id
 """
 
 
+def q_quality_pct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality percentile (percent_rank within stratum):
+    the normalization that makes a 'top X%' cutoff comparable across
+    languages with different raw score distributions."""
+    from fences_spark.operators.sampling import quality_percentiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_percentiles(docs, "doc_id", "text", "lang")
+
+
+def _sql_quality_pct() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang AS stratum, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), feat AS (
+  SELECT doc_id, stratum,
+    ROUND(CASE WHEN len(toks) > 0
+               THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+               ELSE 0.0 END, 6) AS mtl,
+    ROUND(CASE WHEN length(text) > 0
+               THEN len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text)
+               ELSE 0.0 END, 6) AS ar,
+    ROUND(CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, x -> x IN ({_SW_EN})))::DOUBLE / len(toks)
+               ELSE 0.0 END, 6) AS sr,
+    len(toks) AS ntok
+  FROM t
+), q AS (
+  SELECT doc_id, stratum,
+    ROUND((CASE WHEN ntok BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN mtl >= 2.5 AND mtl <= 12 THEN 0.25 ELSE 0.0 END)
+        + least(ar / 0.7::DOUBLE, 1.0::DOUBLE) * 0.25
+        + least(sr / 0.2::DOUBLE, 1.0::DOUBLE) * 0.25, 6) AS quality
+  FROM feat
+)
+SELECT doc_id, stratum, quality,
+       ROUND(percent_rank() OVER (PARTITION BY stratum ORDER BY quality, doc_id), 6) AS pct
+FROM q
+ORDER BY doc_id
+"""
+
+
 def q_length_band_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-quantile length-band gate: keep documents whose token
     count lies within the corpus [p5, p95] band (exact percentile for
@@ -2623,6 +2667,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_interleave_docs": q_mix_interleave_docs,
     "blocklist_docs": q_blocklist_docs,
     "length_band_docs": q_length_band_docs,
+    "quality_pct_docs": q_quality_pct_docs,
     "curate_full_docs": q_curate_full_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "redact_docs": q_redact_docs,
@@ -2669,6 +2714,7 @@ ORACLE_SQL: dict[str, str] = {
     "mix_interleave_docs": SQL_MIX_INTERLEAVE_DOCS,
     "blocklist_docs": SQL_BLOCKLIST_DOCS,
     "length_band_docs": SQL_LENGTH_BAND_DOCS,
+    "quality_pct_docs": _sql_quality_pct(),
     "curate_full_docs": _sql_curate_full(),
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "redact_docs": SQL_REDACT_DOCS,

@@ -227,3 +227,38 @@ def weighted_interleave(
             ).cast("long").alias("pos"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# per-stratum quality percentile (cross-stratum-comparable ranking)
+# ---------------------------------------------------------------------------
+
+
+def quality_percentiles(
+    df: DataFrame, id_col: str, text_col: str, strata_col: str
+) -> DataFrame:
+    """(doc_id, stratum, quality, pct) — each document's quality
+    PERCENTILE WITHIN ITS STRATUM (language/source): the
+    normalization that makes quality thresholds comparable across
+    strata whose raw score distributions differ (a fixed global
+    cutoff over-prunes whole languages; "top 30% of each language"
+    does not).  No reference precedent (SURVEY.md §2.F).
+
+    ``pct`` is `percent_rank` — (rank−1)/(n−1), 0 for the worst, 1
+    for the best — over (quality asc, doc_id asc), the deterministic
+    tie-break making the value engine-exact.  ONE shuffle on the
+    stratum key; same skew caveat as :func:`quality_quota_sample`.
+    """
+    from pyspark.sql import Window
+
+    from fences_spark.operators.text import quality_score
+
+    w = Window.partitionBy("stratum").orderBy(F.col("quality"), F.col("doc_id"))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strata_col).alias("stratum"),
+            quality_score(F.col(text_col)).alias("quality"),
+        )
+        .withColumn("pct", F.round(F.percent_rank().over(w), 6))
+        .select("doc_id", "stratum", "quality", "pct")
+    )

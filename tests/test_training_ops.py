@@ -1217,3 +1217,23 @@ def test_curate_full_no_blocklist_disables_signal(spark):
     )
     out = curate_documents_full(df, "doc_id", "text").collect()
     assert all("blocked_domain" not in r["reasons"] for r in out)
+
+
+def test_quality_percentiles_semantics(spark):
+    from fences_spark.operators.sampling import quality_percentiles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = quality_percentiles(docs, "doc_id", "text", "lang").collect()
+    by_stratum: dict[str, list] = {}
+    for r in out:
+        by_stratum.setdefault(r["stratum"], []).append(r)
+    assert len(out) == docs.count()
+    for stratum, rows in by_stratum.items():
+        pcts = sorted(r["pct"] for r in rows)
+        assert pcts[0] == 0.0 and pcts[-1] == (1.0 if len(rows) > 1 else 0.0)
+        # percent_rank is monotone in (quality, doc_id) order
+        ordered = sorted(rows, key=lambda r: (r["quality"], r["doc_id"]))
+        assert [r["pct"] for r in ordered] == sorted(r["pct"] for r in ordered)
+        # a "top 30% of each stratum" cut selects ~30% of EVERY stratum
+        top = [r for r in rows if r["pct"] >= 0.7]
+        assert abs(len(top) / len(rows) - 0.3) < 0.12, stratum
