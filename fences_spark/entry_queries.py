@@ -18,6 +18,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from fences_spark.operators import round6
+
 from fences_spark.compiler.ruleset import RuleSet
 
 
@@ -820,7 +822,7 @@ def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("p_ts"),
         F.col("p_event_id"),
-        F.round("p_value", 6).alias("p_value"),
+        round6(F.col("p_value")).alias("p_value"),
     )
 
 
@@ -844,7 +846,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            round6(F.sum("value")).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -1320,10 +1322,10 @@ def q_embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size(v).alias("dim"),
-        F.round(F.array_min(v), 6).alias("vmin"),
-        F.round(F.array_max(v), 6).alias("vmax"),
-        F.round(total / F.size(v), 6).alias("vmean"),
-        F.round(F.sqrt(sq), 6).alias("l2norm"),
+        round6(F.array_min(v)).alias("vmin"),
+        round6(F.array_max(v)).alias("vmax"),
+        round6(total / F.size(v)).alias("vmean"),
+        round6(F.sqrt(sq)).alias("l2norm"),
     )
 
 
@@ -2411,7 +2413,7 @@ WITH t AS (
   FROM feat
 )
 SELECT doc_id, stratum, quality,
-       ROUND(percent_rank() OVER (PARTITION BY stratum ORDER BY quality, doc_id), 6) AS pct
+       percent_rank() OVER (PARTITION BY stratum ORDER BY quality, doc_id) AS pct
 FROM q
 ORDER BY doc_id
 """

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from fences_spark.operators import round6
+
 from fences_spark.operators.dedup import (
     dup_span_stats,
     ensure_parallelism,
@@ -262,8 +264,8 @@ def length_band_filter(
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     )
     band = toks.agg(
-        F.round(fn("n_tokens", F.lit(p_lo)), 6).alias("lo"),
-        F.round(fn("n_tokens", F.lit(p_hi)), 6).alias("hi"),
+        round6(fn("n_tokens", F.lit(p_lo))).alias("lo"),
+        round6(fn("n_tokens", F.lit(p_hi))).alias("hi"),
     )
     return (
         toks.crossJoin(F.broadcast(band))

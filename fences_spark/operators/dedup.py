@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from fences_spark.operators import round6
+
 
 # ---------------------------------------------------------------------------
 # tokenization / shingling
@@ -306,7 +308,7 @@ def ngram_jaccard_pairs(
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        inter.select("id_a", "id_b", round6(jac).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -533,7 +535,7 @@ def dup_span_stats(df: DataFrame, id_col: str, text_col: str, *, k: int = 5) -> 
             "doc_id",
             "total_grams",
             "dup_grams",
-            F.round(F.col("dup_grams") / F.col("total_grams"), 6).alias("dup_ratio"),
+            round6(F.col("dup_grams") / F.col("total_grams")).alias("dup_ratio"),
         )
         .orderBy("doc_id")
     )

@@ -18,6 +18,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from fences_spark.operators import round6
+
 
 # ---------------------------------------------------------------------------
 # histogram builders
@@ -246,9 +248,9 @@ def drift_stats_distributed(cur_hist: DataFrame, base_hist: DataFrame) -> DataFr
             F.sum(term.cast("decimal(28,10)")).cast("double").alias("chi2_stat"),
             (F.count(term) - F.lit(1)).cast("int").alias("dof"),
             F.sum(((F.col("b_cnt") == 0) & (F.col("c_cnt") > 0)).cast("long")).alias("n_impossible"),
-            F.round(F.max(F.abs(F.col("cdf_c") - F.col("cdf_b"))), 6).alias("ks_stat"),
+            round6(F.max(F.abs(F.col("cdf_c") - F.col("cdf_b")))).alias("ks_stat"),
             F.max("n_c").alias("n_current"),
             F.max("n_b").alias("n_baseline"),
         )
-        .withColumn("chi2_stat", F.round("chi2_stat", 6))
+        .withColumn("chi2_stat", round6(F.col("chi2_stat")))
     )

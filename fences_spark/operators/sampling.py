@@ -245,8 +245,13 @@ def quality_percentiles(
 
     ``pct`` is `percent_rank` — (rank−1)/(n−1), 0 for the worst, 1
     for the best — over (quality asc, doc_id asc), the deterministic
-    tie-break making the value engine-exact.  ONE shuffle on the
-    stratum key; same skew caveat as :func:`quality_quota_sample`.
+    tie-break making the value engine-exact.  The ratio is emitted
+    UN-rounded: rank and n are identical integers in any engine, so
+    the IEEE division is bit-identical — whereas rounding it to 6 dp
+    is NOT (engines disagree on decimal ties: Spark rounds the exact
+    binary value, DuckDB scales-then-rounds; observed one row in 5000
+    differing at the 6th dp).  ONE shuffle on the stratum key; same
+    skew caveat as :func:`quality_quota_sample`.
     """
     from pyspark.sql import Window
 
@@ -259,6 +264,6 @@ def quality_percentiles(
             F.col(strata_col).alias("stratum"),
             quality_score(F.col(text_col)).alias("quality"),
         )
-        .withColumn("pct", F.round(F.percent_rank().over(w), 6))
+        .withColumn("pct", F.percent_rank().over(w))
         .select("doc_id", "stratum", "quality", "pct")
     )

@@ -21,6 +21,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from fences_spark.operators import round6
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -67,7 +69,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+            round6(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -176,7 +178,7 @@ def ann_topk_lsh(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+        round6(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
     ).distinct()
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -232,7 +234,7 @@ def embedding_near_dup_pairs(
             cand.select(
                 "id_a",
                 "id_b",
-                F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+                round6(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
             )
             .distinct()
             .filter(F.col("cos") >= threshold)
@@ -242,7 +244,7 @@ def embedding_near_dup_pairs(
         cand.select(
             "id_a",
             "id_b",
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+            round6(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -370,7 +372,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+            round6(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
         .distinct()
     )

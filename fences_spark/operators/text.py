@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from fences_spark.operators import round6
+
 from fences_spark.operators.dedup import _token_hash, tokens
 
 # compact stopword lists (public common-word sets; heuristic only)
@@ -78,14 +80,12 @@ def quality_features(text: Column) -> dict[str, Column]:
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
-        "mean_token_len": F.round(mean_tok_len.cast("double"), 6),
-        "alpha_ratio": F.round(
-            F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0)).cast("double"), 6
-        ),
-        "punct_ratio": F.round(
-            F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)).cast("double"), 6
-        ),
-        "stopword_ratio_en": F.round(stopword_ratio(text, "en").cast("double"), 6),
+        "mean_token_len": round6(mean_tok_len.cast("double")),
+        "alpha_ratio": round6(
+            F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0)).cast("double")),
+        "punct_ratio": round6(
+            F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)).cast("double")),
+        "stopword_ratio_en": round6(stopword_ratio(text, "en").cast("double")),
     }
 
 
@@ -98,7 +98,7 @@ def quality_score(text: Column) -> Column:
     toklen_ok = F.when((f["mean_token_len"] >= 2.5) & (f["mean_token_len"] <= 12), 0.25).otherwise(0.0)
     alpha_part = F.least(f["alpha_ratio"] / F.lit(0.7), F.lit(1.0)) * 0.25
     stop_part = F.least(f["stopword_ratio_en"] / F.lit(0.2), F.lit(1.0)) * 0.25
-    return F.round(length_ok + toklen_ok + alpha_part + stop_part, 6)
+    return round6(length_ok + toklen_ok + alpha_part + stop_part)
 
 
 # ---------------------------------------------------------------------------

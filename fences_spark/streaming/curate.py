@@ -30,6 +30,8 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
+
+from fences_spark.operators import round6
 from pyspark.sql.streaming import StreamingQuery
 
 from fences_spark.operators.text import quality_score
@@ -117,7 +119,7 @@ def windowed_doc_stats(
         .groupBy(F.window(F.col(ts_col), window_len).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg(q), 6).alias("mean_quality"),
+            round6(F.avg(q)).alias("mean_quality"),
         )
         .select(
             F.col("w.start").alias("w_start"),
@@ -154,7 +156,7 @@ def session_stream(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col(value_col)), 6).alias("total_value"),
+            round6(F.sum(F.col(value_col))).alias("total_value"),
         )
         .select(
             F.col(key_col),

@@ -1237,3 +1237,33 @@ def test_quality_percentiles_semantics(spark):
         # a "top 30% of each stratum" cut selects ~30% of EVERY stratum
         top = [r for r in rows if r["pct"] >= 0.7]
         assert abs(len(top) / len(rows) - 0.3) < 0.12, stratum
+
+
+def test_round6_matches_duckdb_round(spark):
+    """round6 (the engine's 6-dp rounding) must be BIT-IDENTICAL to
+    DuckDB's round(x, 6) — including scaled-double half ties where
+    Spark's own F.round disagrees (0.8762625 → 0.876263 here)."""
+    import random as _r
+
+    import duckdb
+
+    from fences_spark.operators import round6
+
+    rng = _r.Random(3)
+    vals = [rng.uniform(-2, 2) for _ in range(5000)] + [
+        0.8762625, -0.8762625, 0.1262625, 0.0000005, -0.0000005, 0.0, 1.0, -1.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    got = {r["i"]: r["y"] for r in df.select("i", round6(F.col("x")).alias("y")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(i BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO v VALUES (?, ?)", list(enumerate(vals)))
+    for i, d in con.sql("SELECT i, round(x, 6) FROM v").fetchall():
+        assert got[i] == d, (i, vals[i], got[i], d)
+    # and the production divergence case (quality = 0.75 +
+    # round6(0.10101)/0.2*0.25, whose double sits just BELOW the
+    # decimal half while the scaled multiply lands ON it) really
+    # separates F.round from round6
+    expr = F.lit(0.75) + F.lit(0.10101) / F.lit(0.2) * F.lit(0.25)
+    one = spark.range(1).select(
+        F.round(expr, 6).alias("spark_r"), round6(expr).alias("r6")).first()
+    assert one["spark_r"] == 0.876262 and one["r6"] == 0.876263
