@@ -65,3 +65,29 @@ def snapshot_fingerprint(source: str) -> str:
             st = os.stat(p)
             entries.append(f"{os.path.relpath(p, source)}:{st.st_size}:{int(st.st_mtime)}")
     return hashlib.sha256("\n".join(sorted(entries)).encode()).hexdigest()[:16]
+
+
+def read_path(spark: SparkSession, path: str, *, fmt: str = "parquet") -> DataFrame:
+    """Columnar-path reader with an explicit format: ``parquet`` or
+    ``orc`` (both Spark-native columnar sources with predicate
+    pushdown and column pruning; the engine is format-agnostic above
+    this call)."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format {fmt!r}")
+    return spark.read.format(fmt).load(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, *, glob: str | None = None
+) -> DataFrame:
+    """Raw media/corpus ingest via Spark's ``binaryFile`` source:
+    (path, modificationTime, length, content binary) — one row per
+    file, the entry point that feeds `operators.multimodal` (payload =
+    content, metadata from path/length).  Large files note: each file
+    must fit in one task's memory (binaryFile does not split), so
+    shard oversized media upstream or cap with
+    ``spark.sql.files.maxPartitionBytes`` sizing."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

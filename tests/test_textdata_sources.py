@@ -60,3 +60,47 @@ class TestCsv:
         rows = {r["doc_id"]: r["text"] for r in clean.collect()}
         assert rows == {1: "hello world", 2: "guten tag", 4: "fine"}
         assert bad.count() == 1
+
+
+class TestColumnarAndBinarySources:
+    def test_orc_roundtrip_matches_parquet(self, spark, tmp_path):
+        from fences_spark.sources import read_path
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        orc_dir = str(tmp_path / "docs_orc")
+        docs.write.orc(orc_dir)
+        via_orc = read_path(spark, orc_dir, fmt="orc")
+        assert via_orc.count() == docs.count()
+        assert set(via_orc.columns) == set(docs.columns)
+        a = {r["doc_id"]: r["text"] for r in via_orc.select("doc_id", "text").collect()}
+        b = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+        assert a == b
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            read_path(spark, orc_dir, fmt="csv")
+
+    def test_binary_file_ingest_feeds_multimodal(self, spark, tmp_path):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from fences_spark.sources import read_binary_files
+
+        media_dir = tmp_path / "media"
+        media_dir.mkdir()
+        payloads = {f"m{i}.bin": bytes([i]) * (10 + i) for i in range(5)}
+        (media_dir / "skip.txt").write_text("not media")
+        for name, payload in payloads.items():
+            (media_dir / name).write_bytes(payload)
+
+        df = read_binary_files(spark, str(media_dir), glob="*.bin")
+        rows = df.select(
+            F.element_at(F.split("path", "/"), -1).alias("name"),
+            "length",
+            F.sha2("content", 256).alias("sha"),
+        ).collect()
+        assert {r["name"] for r in rows} == set(payloads)
+        for r in rows:
+            want = payloads[r["name"]]
+            assert r["length"] == len(want)
+            assert r["sha"] == hashlib.sha256(want).hexdigest()
