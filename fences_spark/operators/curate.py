@@ -90,6 +90,7 @@ def curate_documents(
     max_dup3gram: float = 0.1,
     max_dup_span: float = 0.5,
     span_k: int = 5,
+    persist_base: bool = True,
 ) -> DataFrame:
     """(doc_id, keep, reasons) — keep=false iff any filter fires;
     reasons is the comma-joined ordered list of fired filter names
@@ -107,6 +108,12 @@ def curate_documents(
     base = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
+    if persist_base:
+        # one scan per signal subtree otherwise (see
+        # curate_documents_full); measured ~15% wall at sf0.1 warm
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     j = _base_signals(base, span_k=span_k)
 
     flags = [
