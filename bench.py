@@ -50,6 +50,7 @@ HEADLINE = [
     "asof_click_purchase",
     "range_view_error",
     "sessionize_events",
+    "funnel_events",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -925,6 +925,41 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') e
 """
 
 
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel view → click → purchase per user
+    (greedy earliest-chain semantics, 1-hour completion span)."""
+    from fences_spark.operators.joins import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], max_span="1 hour")
+
+
+SQL_FUNNEL_EVENTS = """
+WITH e AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), s1 AS (
+  SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(ts) AS t_click
+  FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts >= t_view GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(ts) AS t_purchase
+  FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts >= t_click GROUP BY 1
+)
+SELECT s1.user_id, t_view, t_click, t_purchase,
+       (1 + (t_click IS NOT NULL)::INT + (t_purchase IS NOT NULL)::INT)::INT AS depth,
+       COALESCE(COALESCE(t_purchase, t_click, t_view) <= t_view + INTERVAL 1 HOUR,
+                FALSE) AS within_span
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+ORDER BY s1.user_id
+"""
+
+
 def q_tfidf_topterms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smooth TF-IDF top-3 terms per document (corpus-relative
     keyword extraction), ties broken by token ascending."""
@@ -2654,6 +2689,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_click_purchase": q_asof_click_purchase,
     "range_view_error": q_range_view_error,
     "sessionize_events": q_sessionize_events,
+    "funnel_events": q_funnel_events,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_vector_stats": q_embedding_vector_stats,
@@ -2730,6 +2766,7 @@ ORACLE_SQL: dict[str, str] = {
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
     "range_view_error": SQL_RANGE_VIEW_ERROR,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "funnel_events": SQL_FUNNEL_EVENTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_vector_stats": SQL_EMBEDDING_VECTOR_STATS,

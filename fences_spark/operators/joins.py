@@ -22,6 +22,9 @@ staleness at bucket edges) when a key exceeds partition budget.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -156,3 +159,63 @@ def range_join(
             *[F.col(f"{prefix}{c}") for c in value_cols],
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span: str | None = None,
+) -> DataFrame:
+    """Sequential funnel analysis: per user, the earliest time each
+    ``steps[i]`` event occurs AT OR AFTER the user's step-``i−1``
+    time (the classic ordered-conversion query analytics engines ship
+    as a primitive; Spark has no builtin).  Returns one row per user
+    with ``t_<step>`` timestamps (NULL once the chain breaks) and
+    ``depth`` = number of steps completed; ``max_span`` (e.g.
+    ``'1 hour'``) additionally requires the LAST completed step to
+    fall within that interval of the first.
+
+    Execution shape: one conditional-min aggregation per step, each a
+    map-side-combined groupBy on the user key; after the first, every
+    aggregation and join is co-partitioned on that key, so AQE
+    coalesces the chain into len(steps) shuffle-free stages after ONE
+    user-key shuffle.  No collect_list of per-user event arrays — the
+    state per user is len(steps) timestamps, not the event history,
+    so a power user with millions of events costs the same as anyone
+    else (skew-immune by construction).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("etype"),
+    ).filter(F.col("etype").isin(steps))
+
+    out = ev.filter(F.col("etype") == steps[0]).groupBy("user_id").agg(
+        F.min("ts").alias(f"t_{steps[0]}")
+    )
+    for prev, step in zip(steps, steps[1:]):
+        nxt = (
+            ev.filter(F.col("etype") == step)
+            .join(out.select("user_id", f"t_{prev}"), "user_id")
+            .filter(F.col("ts") >= F.col(f"t_{prev}"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t_{step}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+
+    depth = functools.reduce(
+        operator.add,
+        [F.col(f"t_{s}").isNotNull().cast("int") for s in steps],
+    )
+    out = out.withColumn("depth", depth)
+    if max_span is not None:
+        last_t = F.coalesce(*[F.col(f"t_{s}") for s in reversed(steps)])
+        within = last_t <= F.col(f"t_{steps[0]}") + F.expr(f"INTERVAL {max_span}")
+        out = out.withColumn("within_span", F.coalesce(within, F.lit(False)))
+    return out.orderBy("user_id")

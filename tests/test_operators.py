@@ -155,3 +155,44 @@ class TestDrift:
         results = {r.dim: r for r in score_drift(files_histograms(files), base)}
         assert math.isinf(results["lang"].chi2_stat)
         assert results["lang"].chi2_pvalue == 0.0
+
+
+class TestFunnel:
+    def test_ordered_chain_semantics(self, spark):
+        from datetime import datetime
+
+        from fences_spark.operators.joins import funnel
+
+        t = lambda m: datetime(2026, 1, 1, 12, m)  # noqa: E731
+        rows = [
+            # u1 completes in order within the hour
+            (1, t(0), "view"), (1, t(5), "click"), (1, t(10), "purchase"),
+            # u2: purchase BEFORE click -> chain stops at click
+            (2, t(0), "view"), (2, t(20), "click"), (2, t(10), "purchase"),
+            # u3: click before ANY view -> depth 1 (click doesn't count)
+            (3, t(5), "view"), (3, t(1), "click"),
+            # u4 never views -> absent entirely
+            (4, t(0), "click"), (4, t(1), "purchase"),
+            # u5 completes but outside the 30-minute span
+            (5, t(0), "view"), (5, t(10), "click"), (5, t(50), "purchase"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        out = {r["user_id"]: r for r in funnel(
+            df, ["view", "click", "purchase"], max_span="30 minutes").collect()}
+        assert set(out) == {1, 2, 3, 5}
+        assert out[1]["depth"] == 3 and out[1]["within_span"] is True
+        assert out[2]["depth"] == 2 and out[2]["t_purchase"] is None
+        assert out[3]["depth"] == 1 and out[3]["t_click"] is None
+        assert out[5]["depth"] == 3 and out[5]["within_span"] is False
+
+    def test_tie_at_same_timestamp_counts(self, spark):
+        from datetime import datetime
+
+        from fences_spark.operators.joins import funnel
+
+        df = spark.createDataFrame(
+            [(1, datetime(2026, 1, 1), "view"), (1, datetime(2026, 1, 1), "click")],
+            "user_id long, ts timestamp, event_type string",
+        )
+        out = funnel(df, ["view", "click"]).first()
+        assert out["depth"] == 2  # >= semantics: simultaneous steps chain
