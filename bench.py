@@ -51,6 +51,7 @@ HEADLINE = [
     "range_view_error",
     "sessionize_events",
     "funnel_events",
+    "retention_events",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

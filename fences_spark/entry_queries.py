@@ -960,6 +960,38 @@ ORDER BY s1.user_id
 """
 
 
+def q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over events: cohort by first
+    active week, count active users per week offset."""
+    from fences_spark.operators.joins import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week")
+
+
+SQL_RETENTION_EVENTS = """
+WITH ev AS (
+  SELECT user_id, date_trunc('week', ts)::DATE AS p FROM events
+), first AS (
+  SELECT user_id, min(p) AS cohort FROM ev GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, p FROM ev
+), counts AS (
+  SELECT cohort,
+         (datediff('day', cohort, p) // 7)::INT AS "offset",
+         COUNT(DISTINCT active.user_id)::BIGINT AS n_active
+  FROM active JOIN first USING (user_id)
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort, COUNT(*)::BIGINT AS cohort_size FROM first GROUP BY 1
+)
+SELECT cohort, "offset", n_active, cohort_size,
+       ROUND(n_active * 1.0 / cohort_size, 6) AS retention
+FROM counts JOIN sizes USING (cohort)
+ORDER BY cohort, "offset"
+"""
+
+
 def q_tfidf_topterms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smooth TF-IDF top-3 terms per document (corpus-relative
     keyword extraction), ties broken by token ascending."""
@@ -2690,6 +2722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_view_error": q_range_view_error,
     "sessionize_events": q_sessionize_events,
     "funnel_events": q_funnel_events,
+    "retention_events": q_retention_events,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_vector_stats": q_embedding_vector_stats,
@@ -2767,6 +2800,7 @@ ORACLE_SQL: dict[str, str] = {
     "range_view_error": SQL_RANGE_VIEW_ERROR,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "funnel_events": SQL_FUNNEL_EVENTS,
+    "retention_events": SQL_RETENTION_EVENTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_vector_stats": SQL_EMBEDDING_VECTOR_STATS,

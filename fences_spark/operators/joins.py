@@ -219,3 +219,65 @@ def funnel(
         within = last_t <= F.col(f"t_{steps[0]}") + F.expr(f"INTERVAL {max_span}")
         out = out.withColumn("within_span", F.coalesce(within, F.lit(False)))
     return out.orderBy("user_id")
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event; each (cohort, offset) row counts the cohort's
+    users active ``offset`` periods later — the classic retention
+    triangle (analytics-engine primitive Spark lacks).
+
+    Returns (cohort, offset, n_active, cohort_size, retention) with
+    retention 6-dp rounded, ordered by (cohort, offset); offset 0 rows
+    have retention 1.0 by construction.
+
+    Execution shape: first-seen is ONE min() aggregation on the user
+    key; activity is a distinct (user, period) projection joined back
+    co-partitioned on the user key (AQE reuses the exchange); the
+    final (cohort, offset) count is map-side combined.  Two shuffles
+    total — user key, then the tiny cohort-offset key.
+    """
+    from fences_spark.operators import round6
+
+    per = F.date_trunc(period, F.col(ts_col)).cast("date")
+    ev = events.select(F.col(user_col).alias("user_id"), per.alias("p"))
+    first = ev.groupBy("user_id").agg(F.min("p").alias("cohort"))
+    active = ev.distinct().join(first, "user_id")
+    counts = (
+        active.groupBy(
+            "cohort",
+            F.datediff(F.col("p"), F.col("cohort")).alias("offset_days"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    days = {"week": 7, "month": 30, "day": 1}[period] if period != "month" else None
+    if period == "month":
+        # month lengths vary; recompute the offset in months
+        counts = (
+            active.groupBy(
+                "cohort",
+                F.months_between(F.col("p"), F.col("cohort")).cast("int").alias("offset"),
+            )
+            .agg(F.count_distinct("user_id").alias("n_active"))
+        )
+    else:
+        counts = counts.select(
+            "cohort",
+            (F.col("offset_days") / days).cast("int").alias("offset"),
+            "n_active",
+        )
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        counts.join(sizes, "cohort")
+        .select(
+            "cohort", "offset", "n_active", "cohort_size",
+            round6(F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
+        .orderBy("cohort", "offset")
+    )

@@ -196,3 +196,28 @@ class TestFunnel:
         )
         out = funnel(df, ["view", "click"]).first()
         assert out["depth"] == 2  # >= semantics: simultaneous steps chain
+
+
+class TestCohortRetention:
+    def test_retention_triangle(self, spark):
+        from datetime import datetime
+
+        from fences_spark.operators.joins import cohort_retention
+
+        # weeks start Monday; 2026-01-05 is a Monday
+        w = lambda k, d=0: datetime(2026, 1, 5 + 7 * k + d, 9)  # noqa: E731
+        rows = (
+            # cohort W0: users 1,2,3; user 1 active W0+W1+W2, user 2 W0+W2, user 3 W0 only
+            [(1, w(0)), (1, w(1)), (1, w(2)), (2, w(0, 2)), (2, w(2)), (3, w(0))]
+            # cohort W1: user 4 active W1 only
+            + [(4, w(1, 3))]
+        )
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {(str(r["cohort"]), r["offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+               for r in cohort_retention(df, period="week").collect()}
+        c0, c1 = "2026-01-05", "2026-01-12"
+        assert out[(c0, 0)] == (3, 3, 1.0)
+        assert out[(c0, 1)] == (1, 3, 0.333333)
+        assert out[(c0, 2)] == (2, 3, 0.666667)
+        assert out[(c1, 0)] == (1, 1, 1.0)
+        assert (c1, 1) not in out
