@@ -221,3 +221,26 @@ class TestCohortRetention:
         assert out[(c0, 2)] == (2, 3, 0.666667)
         assert out[(c1, 0)] == (1, 1, 1.0)
         assert (c1, 1) not in out
+
+
+def test_event_analytics_plan_properties(spark):
+    """The funnel / retention / curate_full plans must stay free of
+    cartesian products and row-at-a-time Python — the properties that
+    keep them viable at 10^12 events."""
+    from fences_spark.operators.curate import curate_documents_full
+    from fences_spark.operators.joins import cohort_retention, funnel
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plans = {
+        "funnel": funnel(ev, ["view", "click", "purchase"], max_span="1 hour"),
+        "retention": cohort_retention(ev, period="week"),
+        "curate_full": curate_documents_full(
+            docs, "doc_id", "text", blocked_domains=["x.invalid"], persist_base=False
+        ),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
