@@ -1,0 +1,135 @@
+"""End-to-end training-data curation pipeline: the single entry point
+that chains the engine's stages the way a production run would —
+
+  1. validate   RuleSet over the corpus (verdicts + exact violations)
+  2. curate     composed keep/drop verdict (quality, repetition, dup
+                spans, exact dedup; optional blocklist / length band /
+                decontamination via the full verdict)
+  3. dedup      near-dup clusters (MinHash+LSH → connected
+                components), keep cluster canonicals only
+  4. pack       document-atomic sequence packing into token budgets
+  5. shuffle    deterministic hash-shard training order
+  6. write      shard-partitioned parquet + verdict/violation/
+                curation report tables
+
+Every stage is one of the repo's oracle-gated operators; this module
+adds only the composition and the sinks.  Run via::
+
+    spark-submit --py-files fences_spark.zip -m fences_spark.run.pipeline \
+        <input> <output_dir>
+
+or programmatically with :func:`run_pipeline`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class PipelineConfig:
+    output_dir: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    rules: dict = field(default_factory=lambda: {
+        "text_present": {"type": "string", "minLength": 1},
+    })
+    blocked_domains: list[str] | None = None
+    chunk_tokens: int = 64
+    chunk_stride: int = 48
+    pack_budget: int = 256
+    n_shards: int = 8
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.output_dir, name)
+
+
+def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
+    """Execute the full curation pipeline; returns a summary dict
+    (also written to ``<output_dir>/summary.json``)."""
+    from fences_spark.compiler.ruleset import RuleSet
+    from fences_spark.operators.curate import curate_documents, curate_documents_full
+    from fences_spark.operators.dedup import connected_components, minhash_lsh_pairs
+    from fences_spark.operators.sampling import shuffle_shards
+    from fences_spark.operators.text import pack_sequences
+
+    idc, txc = cfg.id_col, cfg.text_col
+
+    # 1. validate -------------------------------------------------------
+    rs = RuleSet()
+    for rule_id, schema in cfg.rules.items():
+        rs.add(rule_id, txc, schema)
+    res = rs.apply(docs)
+    res.verdicts().write.mode("overwrite").parquet(cfg.path("verdicts"))
+    res.violations(idc).write.mode("overwrite").parquet(cfg.path("violations"))
+    valid = res.df.filter(F.col("row_valid")).select(docs.columns)
+
+    # 2. curate ---------------------------------------------------------
+    if cfg.blocked_domains:
+        verdicts = curate_documents_full(
+            valid, idc, txc, blocked_domains=cfg.blocked_domains
+        )
+    else:
+        verdicts = curate_documents(valid, idc, txc)
+    verdicts.write.mode("overwrite").parquet(cfg.path("curation"))
+    kept = valid.join(
+        verdicts.filter(F.col("keep")).select(F.col("doc_id").alias(idc)), idc
+    )
+
+    # 3. near-dup dedup (keep cluster canonicals) ------------------------
+    pairs = minhash_lsh_pairs(kept, idc, txc)
+    clusters = connected_components(pairs)
+    non_canonical = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(idc)
+    )
+    surviving = kept.join(non_canonical, idc, "left_anti")
+
+    # 4. pack -----------------------------------------------------------
+    packed = pack_sequences(
+        surviving, idc, txc, budget=cfg.pack_budget
+    )
+    packed.write.mode("overwrite").parquet(cfg.path("sequences"))
+
+    # 5+6. shuffle + shard-partitioned corpus ----------------------------
+    order = shuffle_shards(surviving, idc, n_shards=cfg.n_shards)
+    (
+        surviving.join(order.withColumnRenamed("doc_id", idc), idc)
+        .repartition(cfg.n_shards, "shard")
+        .sortWithinPartitions("shard", "rnk")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(cfg.path("corpus"))
+    )
+
+    summary = {
+        "input_docs": docs.count(),
+        "valid_docs": valid.count(),
+        "kept_after_curation": kept.count(),
+        "kept_after_near_dup": surviving.count(),
+        "sequences": packed.count(),
+        "shards": cfg.n_shards,
+    }
+    with open(cfg.path("summary.json"), "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    return summary
+
+
+def main() -> None:  # pragma: no cover - exercised via spark-submit
+    import sys
+
+    from fences_spark.session import get_spark
+
+    source, out = sys.argv[1], sys.argv[2]
+    spark = get_spark()
+    from fences_spark.sources import read_table
+
+    docs = read_table(spark, source)
+    print(json.dumps(run_pipeline(spark, docs, PipelineConfig(output_dir=out))))
+
+
+if __name__ == "__main__":
+    main()

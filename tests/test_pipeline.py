@@ -1,0 +1,72 @@
+"""End-to-end curation pipeline: validate → curate → near-dup dedup →
+pack → shuffle-shard → shard-partitioned corpus + report sinks."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fences_spark.run.pipeline import PipelineConfig, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def result(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipeline"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant: one invalid row (empty text), one near-dup pair member
+    base = docs.select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(900001, "")]
+        + [(900002, base.filter("doc_id = 7").first()["text"] + " qq")],
+        ["doc_id", "text"],
+    )
+    cfg = PipelineConfig(output_dir=out, n_shards=4)
+    summary = run_pipeline(spark, base.unionByName(extra), cfg)
+    return spark, out, summary
+
+
+def test_summary_counts_are_consistent(result):
+    _spark, _out, s = result
+    assert s["input_docs"] == 502
+    assert s["valid_docs"] == 501          # the empty doc failed validation
+    assert s["kept_after_curation"] <= s["valid_docs"]
+    assert s["kept_after_near_dup"] <= s["kept_after_curation"]
+    assert s["sequences"] >= 1 and s["shards"] == 4
+
+
+def test_sinks_exist_and_agree(result):
+    spark, out, s = result
+    assert sorted(os.listdir(out)) == [
+        "corpus", "curation", "sequences", "summary.json", "verdicts", "violations"]
+    assert json.load(open(os.path.join(out, "summary.json"))) == s
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert corpus.count() == s["kept_after_near_dup"]
+    assert corpus.select("shard").distinct().count() == 4
+    # the planted near-verbatim copy of doc 7 is eliminated by
+    # curation's dup_spans filter (stage 2) — and so is doc 7 itself:
+    # the span filter is SYMMETRIC (Lee-et-al semantics remove every
+    # member of a heavily-overlapping group; only exact-dedup keeps a
+    # canonical).  The curation report records why for both.
+    ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert 900002 not in ids and 7 not in ids
+    cur = spark.read.parquet(os.path.join(out, "curation"))
+    for did in (7, 900002):
+        assert "dup_spans" in cur.filter(F.col("doc_id") == did).first()["reasons"]
+    # violations name the failing rule for the invalid doc
+    viol = spark.read.parquet(os.path.join(out, "violations"))
+    rows = viol.filter(F.col("doc_id") == 900001).collect()
+    assert rows and rows[0]["rule_id"] == "text_present"
+
+
+def test_shard_order_is_the_training_order(result):
+    spark, out, _s = result
+    from fences_spark.operators.sampling import shuffle_shards
+
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    want = {(r["doc_id"], r["shard"], r["rnk"]) for r in shuffle_shards(
+        corpus.select("doc_id", "text"), "doc_id", n_shards=4).collect()}
+    got = {(r["doc_id"], r["shard"], r["rnk"]) for r in corpus.collect()}
+    assert got == want
