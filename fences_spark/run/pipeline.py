@@ -39,8 +39,6 @@ class PipelineConfig:
         "text_present": {"type": "string", "minLength": 1},
     })
     blocked_domains: list[str] | None = None
-    chunk_tokens: int = 64
-    chunk_stride: int = 48
     pack_budget: int = 256
     n_shards: int = 8
 
