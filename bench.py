@@ -52,6 +52,8 @@ HEADLINE = [
     "sessionize_events",
     "funnel_events",
     "retention_events",
+    "cube_order_stats",
+    "outliers_order_price",
     "embedding_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

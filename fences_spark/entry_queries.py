@@ -1469,6 +1469,62 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): counts and totals for
+    every grouping-set combination including both margins — the full
+    grouping-sets surface beside the rollup entry (the reference's
+    ConfusionMatrix prints row AND column totals, core/util.py:94-103;
+    cube is that cross-margin table relationally)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_CUBE_ORDER_STATS = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*)::BIGINT AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_outliers_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust-outlier gate on order totals (|x − median| >
+    3·MAD) — outlier detection immune to the outliers themselves."""
+    from fences_spark.operators.stats import robust_outliers
+
+    orders = _t(spark, sf_dir, "orders")
+    return robust_outliers(orders, "o_totalprice", k=3.0)
+
+
+SQL_OUTLIERS_ORDER_PRICE = """
+WITH med AS (
+  SELECT quantile_cont(o_totalprice::DOUBLE, 0.5) AS median FROM orders
+), madt AS (
+  SELECT median, quantile_cont(abs(o_totalprice::DOUBLE - median), 0.5) AS mad
+  FROM orders, med GROUP BY median
+)
+SELECT median, mad,
+       median - 3.0 * mad AS lo,
+       median + 3.0 * mad AS hi,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM((o_totalprice::DOUBLE < median - 3.0 * mad
+            OR o_totalprice::DOUBLE > median + 3.0 * mad)::INT)::BIGINT AS n_outliers,
+       ROUND(SUM((o_totalprice::DOUBLE < median - 3.0 * mad
+            OR o_totalprice::DOUBLE > median + 3.0 * mad)::INT) * 1.0 / COUNT(*), 6) AS outlier_rate
+FROM orders, madt
+GROUP BY median, mad
+"""
+
+
 def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time functions (SURVEY.md §2.B): truncate o_orderdate to
     (year, month), count + revenue per month."""
@@ -2728,6 +2784,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_vector_stats": q_embedding_vector_stats,
     "simhash_docs": q_simhash_docs,
     "rollup_order_margins": q_rollup_order_margins,
+    "cube_order_stats": q_cube_order_stats,
+    "outliers_order_price": q_outliers_order_price,
     "orders_by_month": q_orders_by_month,
     "top10_orders": q_top10_orders,
     "quality_docs": q_quality_docs,
@@ -2806,6 +2864,8 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_vector_stats": SQL_EMBEDDING_VECTOR_STATS,
     "simhash_docs": SQL_SIMHASH,
     "rollup_order_margins": SQL_ROLLUP_ORDER_MARGINS,
+    "cube_order_stats": SQL_CUBE_ORDER_STATS,
+    "outliers_order_price": SQL_OUTLIERS_ORDER_PRICE,
     "orders_by_month": SQL_ORDERS_BY_MONTH,
     "top10_orders": SQL_TOP10_ORDERS,
     "quality_docs": SQL_QUALITY_DOCS,

@@ -80,3 +80,45 @@ def profile(
         )
         parts.append(f"STRUCT({fields})")
     return wide.selectExpr(f"explode(array({', '.join(parts)})) AS s").select("s.*")
+
+
+def robust_outliers(
+    df: DataFrame, column: str, *, k: float = 3.0, exact: bool = True
+) -> DataFrame:
+    """Median/MAD outlier gate for a numeric column: a value is an
+    outlier when |x − median| > k · MAD (the robust z-score — immune
+    to the outliers themselves, unlike mean/stddev).  Returns ONE row:
+    (median, mad, lo, hi, n_rows, n_outliers, outlier_rate 6-dp).
+
+    Execution shape: two global aggregates (median pass, then MAD of
+    the residuals against the broadcast median) + one counting pass —
+    exact ``percentile``/``median`` for the oracle; at 100 TB swap
+    ``exact=False`` for the `percentile_approx` sketch (the gate is a
+    heuristic; sketch error is immaterial)."""
+    from fences_spark.operators import round6
+
+    med_fn = (lambda c: F.percentile(c, F.lit(0.5))) if exact else (
+        lambda c: F.percentile_approx(c, F.lit(0.5)))
+    x = F.col(column).cast("double")
+    med = df.agg(med_fn(x).alias("median"))
+    resid = df.crossJoin(F.broadcast(med)).select(
+        x.alias("x"), "median", F.abs(x - F.col("median")).alias("r")
+    )
+    mad = resid.groupBy("median").agg(med_fn(F.col("r")).alias("mad"))
+    return (
+        resid.join(F.broadcast(mad), "median")
+        .select(
+            "median", "mad", "x",
+            (F.col("median") - k * F.col("mad")).alias("lo"),
+            (F.col("median") + k * F.col("mad")).alias("hi"),
+        )
+        .groupBy("median", "mad", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(((F.col("x") < F.col("lo")) | (F.col("x") > F.col("hi"))).cast("long")).alias("n_outliers"),
+        )
+        .select(
+            "median", "mad", "lo", "hi", "n_rows", "n_outliers",
+            round6(F.col("n_outliers") / F.col("n_rows")).alias("outlier_rate"),
+        )
+    )

@@ -244,3 +244,20 @@ def test_event_analytics_plan_properties(spark):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
+
+
+def test_robust_outliers_semantics(spark):
+    from fences_spark.operators.stats import robust_outliers
+
+    # 9 values clustered at 100 +/- small, one extreme outlier
+    rows = [(i, 100.0 + i) for i in range(9)] + [(9, 10_000.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = robust_outliers(df, "v", k=3.0).first()
+    assert out["median"] == 104.5            # even-n interpolated median
+    assert out["n_rows"] == 10 and out["n_outliers"] == 1
+    assert out["outlier_rate"] == 0.1
+    # the bounds exclude only the extreme point
+    assert out["lo"] <= 100.0 and out["hi"] < 10_000.0
+    # approx mode runs and returns the same shape
+    a = robust_outliers(df, "v", k=3.0, exact=False).first()
+    assert a["n_rows"] == 10
