@@ -47,6 +47,7 @@ HEADLINE = [
     "mix_quota_docs",
     "mix_interleave_docs",
     "quality_pct_docs",
+    "lexdiv_docs",
     "asof_click_purchase",
     "range_view_error",
     "sessionize_events",

@@ -2498,6 +2498,42 @@ ORDER BY doc_id
 """
 
 
+def q_lexdiv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio (distinct
+    tokens / tokens) — the classic repetitiveness-adjacent quality
+    signal; pure per-row array algebra, zero shuffles."""
+    from fences_spark.operators import round6
+    from fences_spark.operators.dedup import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+        F.when(n > 0, round6(F.size(F.array_distinct(toks)) / n))
+         .otherwise(F.lit(0.0)).alias("ttr"),
+    ).orderBy("doc_id")
+
+
+SQL_LEXDIV_DOCS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_types,
+       CASE WHEN len(toks) > 0
+            THEN ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6)
+            ELSE 0.0 END AS ttr
+FROM t
+ORDER BY doc_id
+"""
+
+
 def q_quality_pct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality percentile (percent_rank within stratum):
     the normalization that makes a 'top X%' cutoff comparable across
@@ -2797,6 +2833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocklist_docs": q_blocklist_docs,
     "length_band_docs": q_length_band_docs,
     "quality_pct_docs": q_quality_pct_docs,
+    "lexdiv_docs": q_lexdiv_docs,
     "curate_full_docs": q_curate_full_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "redact_docs": q_redact_docs,
@@ -2844,6 +2881,7 @@ ORACLE_SQL: dict[str, str] = {
     "blocklist_docs": SQL_BLOCKLIST_DOCS,
     "length_band_docs": SQL_LENGTH_BAND_DOCS,
     "quality_pct_docs": _sql_quality_pct(),
+    "lexdiv_docs": SQL_LEXDIV_DOCS,
     "curate_full_docs": _sql_curate_full(),
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "redact_docs": SQL_REDACT_DOCS,
