@@ -24,6 +24,7 @@ HEADLINE = [
     "validate_documents",
     "violations_events_props",
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "join_customer_orders",
     "dedup_exact_documents",
     "dedup_key_count",

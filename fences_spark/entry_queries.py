@@ -1469,6 +1469,48 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): three-table join with selective
+    filters on both sides — customer segment filter broadcasts into
+    the orders join, date predicates push into both scans, top-10 by
+    revenue is a bounded-heap TakeOrderedAndProject (no global sort).
+    (The sandbox testdata carries o_orderpriority, not the spec's
+    o_shippriority — the query shape is Q3's.)"""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1995-03-15")
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > "1995-03-15")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_Q3_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (orderstatus, orderpriority): counts and totals for
     every grouping-set combination including both margins — the full
@@ -2820,6 +2862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_vector_stats": q_embedding_vector_stats,
     "simhash_docs": q_simhash_docs,
     "rollup_order_margins": q_rollup_order_margins,
+    "q3_shipping_priority": q3_shipping_priority,
     "cube_order_stats": q_cube_order_stats,
     "outliers_order_price": q_outliers_order_price,
     "orders_by_month": q_orders_by_month,
@@ -2902,6 +2945,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_vector_stats": SQL_EMBEDDING_VECTOR_STATS,
     "simhash_docs": SQL_SIMHASH,
     "rollup_order_margins": SQL_ROLLUP_ORDER_MARGINS,
+    "q3_shipping_priority": SQL_Q3_SHIPPING_PRIORITY,
     "cube_order_stats": SQL_CUBE_ORDER_STATS,
     "outliers_order_price": SQL_OUTLIERS_ORDER_PRICE,
     "orders_by_month": SQL_ORDERS_BY_MONTH,
