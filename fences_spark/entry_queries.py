@@ -1487,9 +1487,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > "1995-03-15")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            # per-item product rounded to exact cents BEFORE summation:
+            # the sum is then decimal-exact (associative), so neither
+            # engine's summation order nor rounding rule can diverge —
+            # and the top-10 cutoff keyed on revenue stays stable
+            # floor(x*100+0.5)/100 == DuckDB ROUND(x,2) on positives
+            # (Spark's F.round differs at decimal ties — see round6)
+            F.sum(
+                (F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + 0.5) / 100)
+                .cast("decimal(18,2)")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -1498,7 +1505,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q3_SHIPPING_PRIORITY = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       (SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 2) AS DECIMAL(18,2))))::DOUBLE AS revenue
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
   AND c_custkey = o_custkey
@@ -1522,7 +1529,9 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            # decimal-exact sum: double summation order differs across
+            # engines/partitionings (see round6); decimal is associative
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
@@ -1531,7 +1540,7 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CUBE_ORDER_STATS = """
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*)::BIGINT AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_price
+       (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus, o_orderpriority

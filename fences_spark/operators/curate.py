@@ -109,11 +109,11 @@ def curate_documents(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     if persist_base:
-        # one scan per signal subtree otherwise (see
-        # curate_documents_full); measured ~15% wall at sf0.1 warm
+        # one scan per signal subtree otherwise; MEMORY_ONLY for the
+        # same no-unpersist-leak reason as curate_documents_full
         from pyspark import StorageLevel
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = base.persist(StorageLevel.MEMORY_ONLY)
     j = _base_signals(base, span_k=span_k)
 
     flags = [
@@ -339,12 +339,16 @@ def curate_documents_full(
         # scan per signal (~8 passes); persisting the two-column
         # projection converts them into columnar-cache reads (30%
         # wall at sf0.1 with a WARM page cache; at 100 TB it removes
-        # 7 full parquet decodes).  MEMORY_AND_DISK spills instead of
-        # recomputing; left persisted — Spark evicts LRU, callers may
-        # unpersist() via the plan's cached leaf if they choose.
+        # 7 full parquet decodes).  MEMORY_ONLY on purpose: this
+        # lazy-returning function cannot know when to unpersist, and
+        # un-unpersisted MEMORY_AND_DISK blocks leak scratch disk
+        # across repeated calls in a long session — memory blocks are
+        # simply LRU-evicted (falling back to recompute).  A pipeline
+        # that CAN unpersist (run/pipeline.py) manages its own
+        # disk-backed persists instead.
         from pyspark import StorageLevel
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = base.persist(StorageLevel.MEMORY_ONLY)
     sig = _base_signals(base, span_k=span_k)
 
     is_eval_col = hash_bucket(F.col("doc_id")) < F.lit(threshold_hex(eval_frac))

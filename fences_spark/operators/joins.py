@@ -245,33 +245,21 @@ def cohort_retention(
     """
     from fences_spark.operators import round6
 
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day/week/month, got {period!r}")
     per = F.date_trunc(period, F.col(ts_col)).cast("date")
     ev = events.select(F.col(user_col).alias("user_id"), per.alias("p"))
     first = ev.groupBy("user_id").agg(F.min("p").alias("cohort"))
     active = ev.distinct().join(first, "user_id")
-    counts = (
-        active.groupBy(
-            "cohort",
-            F.datediff(F.col("p"), F.col("cohort")).alias("offset_days"),
-        )
-        .agg(F.count_distinct("user_id").alias("n_active"))
-    )
-    days = {"week": 7, "month": 30, "day": 1}[period] if period != "month" else None
     if period == "month":
-        # month lengths vary; recompute the offset in months
-        counts = (
-            active.groupBy(
-                "cohort",
-                F.months_between(F.col("p"), F.col("cohort")).cast("int").alias("offset"),
-            )
-            .agg(F.count_distinct("user_id").alias("n_active"))
-        )
+        # month lengths vary; measure the offset in whole months
+        offset = F.months_between(F.col("p"), F.col("cohort")).cast("int")
     else:
-        counts = counts.select(
-            "cohort",
-            (F.col("offset_days") / days).cast("int").alias("offset"),
-            "n_active",
-        )
+        days = {"week": 7, "day": 1}[period]
+        offset = (F.datediff(F.col("p"), F.col("cohort")) / days).cast("int")
+    counts = active.groupBy("cohort", offset.alias("offset")).agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
     sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
     return (
         counts.join(sizes, "cohort")

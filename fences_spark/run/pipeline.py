@@ -15,7 +15,7 @@ that chains the engine's stages the way a production run would —
 Every stage is one of the repo's oracle-gated operators; this module
 adds only the composition and the sinks.  Run via::
 
-    spark-submit --py-files fences_spark.zip -m fences_spark.run.pipeline \
+    spark-submit --py-files fences_spark.zip fences_spark/run/pipeline.py \
         <input> <output_dir>
 
 or programmatically with :func:`run_pipeline`.
@@ -46,9 +46,29 @@ class PipelineConfig:
         return os.path.join(self.output_dir, name)
 
 
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Scheme-agnostic small-file write through the Hadoop FileSystem
+    (local, hdfs://, s3a://, ... — wherever the parquet sinks went)."""
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())  # noqa: SLF001
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> dict:
     """Execute the full curation pipeline; returns a summary dict
-    (also written to ``<output_dir>/summary.json``)."""
+    (also written to ``<output_dir>/summary.json``).
+
+    The two frames every later stage re-reads (validated docs,
+    post-dedup survivors) are persisted for the run and unpersisted on
+    exit, so no stage — and none of the summary counts — re-executes
+    an earlier stage's lineage."""
+    from pyspark import StorageLevel
+
     from fences_spark.compiler.ruleset import RuleSet
     from fences_spark.operators.curate import curate_documents, curate_documents_full
     from fences_spark.operators.dedup import connected_components, minhash_lsh_pairs
@@ -64,7 +84,9 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
     res = rs.apply(docs)
     res.verdicts().write.mode("overwrite").parquet(cfg.path("verdicts"))
     res.violations(idc).write.mode("overwrite").parquet(cfg.path("violations"))
-    valid = res.df.filter(F.col("row_valid")).select(docs.columns)
+    valid = res.df.filter(F.col("row_valid")).select(docs.columns).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # 2. curate ---------------------------------------------------------
     if cfg.blocked_domains:
@@ -84,7 +106,9 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
     non_canonical = clusters.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias(idc)
     )
-    surviving = kept.join(non_canonical, idc, "left_anti")
+    surviving = kept.join(non_canonical, idc, "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # 4. pack -----------------------------------------------------------
     packed = pack_sequences(
@@ -103,16 +127,21 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
         .parquet(cfg.path("corpus"))
     )
 
+    # counts come from persisted frames or already-written sinks —
+    # nothing below re-executes an upstream stage
+    curation = spark.read.parquet(cfg.path("curation"))
     summary = {
         "input_docs": docs.count(),
         "valid_docs": valid.count(),
-        "kept_after_curation": kept.count(),
+        "kept_after_curation": curation.filter(F.col("keep")).count(),
         "kept_after_near_dup": surviving.count(),
-        "sequences": packed.count(),
+        "sequences": spark.read.parquet(cfg.path("sequences")).count(),
         "shards": cfg.n_shards,
     }
-    with open(cfg.path("summary.json"), "w") as f:
-        json.dump(summary, f, indent=1, sort_keys=True)
+    _write_text(spark, cfg.path("summary.json"),
+                json.dumps(summary, indent=1, sort_keys=True))
+    valid.unpersist()
+    surviving.unpersist()
     return summary
 
 

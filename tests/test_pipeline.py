@@ -39,7 +39,8 @@ def test_summary_counts_are_consistent(result):
 
 def test_sinks_exist_and_agree(result):
     spark, out, s = result
-    assert sorted(os.listdir(out)) == [
+    # ignore Hadoop-FS checksum sidecars (.summary.json.crc)
+    assert sorted(n for n in os.listdir(out) if not n.startswith(".")) == [
         "corpus", "curation", "sequences", "summary.json", "verdicts", "violations"]
     assert json.load(open(os.path.join(out, "summary.json"))) == s
     corpus = spark.read.parquet(os.path.join(out, "corpus"))
