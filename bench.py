@@ -57,6 +57,7 @@ HEADLINE = [
     "cube_order_stats",
     "outliers_order_price",
     "embedding_topk",
+    "embedding_near_dup_lsh",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "grammar_priority_orders",

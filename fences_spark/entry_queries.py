@@ -1357,12 +1357,14 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (training-data dedup):
-    exact mode, threshold 0.2 (synthetic vectors are near-orthogonal,
-    so a high threshold would return nothing at sf0.01)."""
+    EXACT mode — the all-pairs recall baseline that the LSH entry
+    (q_embedding_near_dup_lsh, the scale default) is measured
+    against.  Threshold 0.2 because the synthetic vectors are
+    near-orthogonal (a high threshold returns nothing at sf0.01)."""
     from fences_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.2)
+    return embedding_near_dup_pairs(emb, threshold=0.2, use_lsh_prefilter=False)
 
 
 SQL_EMBEDDING_NEAR_DUP = """
@@ -1376,6 +1378,70 @@ scored AS (
 SELECT id_a, id_b, cos FROM scored
 WHERE cos >= 0.2
 """
+
+
+_NEARDUP_DIM, _NEARDUP_PLANES, _NEARDUP_TABLES = 64, 5, 6
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, LSH-prefiltered — the 100 TB scale
+    path (and the function default): candidates come from sign-sketch
+    collisions in any of the hash tables, so the plan is an equi-join
+    on (table, bucket), never a BroadcastNestedLoopJoin; exact-cosine
+    re-rank keeps precision 1.0.  Buckets are md5-derived literals, so
+    the DuckDB oracle reproduces the identical candidate set.  Recall
+    vs the exact baseline is reported by scripts/recall_report.py."""
+    from fences_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=0.2, dim=_NEARDUP_DIM,
+        n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
+    )
+
+
+def _near_dup_lsh_oracle_sql() -> str:
+    """DuckDB mirror of the LSH-prefiltered near-dup: same ±1 plane
+    weights (seed "neardup:{table}"), same bucket bits (proj > 0),
+    same any-table collision candidates, same cosine + threshold."""
+    from fences_spark.operators.similarity import _plane_weight
+
+    def bucket_expr(vcol: str, table: int) -> str:
+        bits = []
+        for p in range(_NEARDUP_PLANES):
+            ws = ", ".join(
+                str(int(_plane_weight(p, i, f"neardup:{table}")))
+                for i in range(_NEARDUP_DIM)
+            )
+            bits.append(
+                f"(CASE WHEN list_dot_product({vcol}, [{ws}]::DOUBLE[]) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    arms = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"({bucket_expr('embedding::DOUBLE[]', t)}) AS bucket FROM embeddings"
+        for t in range(_NEARDUP_TABLES)
+    )
+    return f"""
+WITH sk AS ({arms}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sk a JOIN sk b USING (tbl, bucket)
+  WHERE a.vec_id < b.vec_id
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT id_a, id_b, cos FROM (
+  SELECT c.id_a, c.id_b,
+         ROUND(list_dot_product(x.e, y.e)
+               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+  FROM cand c JOIN v x ON x.vec_id = c.id_a JOIN v y ON y.vec_id = c.id_b
+) WHERE cos >= 0.2
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP_LSH = _near_dup_lsh_oracle_sql()
 
 
 def q_embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2868,6 +2934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_events": q_retention_events,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "embedding_vector_stats": q_embedding_vector_stats,
     "simhash_docs": q_simhash_docs,
     "rollup_order_margins": q_rollup_order_margins,
@@ -2951,6 +3018,7 @@ ORACLE_SQL: dict[str, str] = {
     "retention_events": SQL_RETENTION_EVENTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     "embedding_vector_stats": SQL_EMBEDDING_VECTOR_STATS,
     "simhash_docs": SQL_SIMHASH,
     "rollup_order_margins": SQL_ROLLUP_ORDER_MARGINS,

@@ -191,7 +191,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int | None = None,
-    use_lsh_prefilter: bool = False,
+    use_lsh_prefilter: bool = True,
     n_planes: int = 8,
     n_tables: int = 8,
     seed: str = "neardup",
@@ -199,13 +199,19 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     cos ≥ threshold and id_a < id_b.
 
-    Exact mode (default) is the O(N²/2) self-join — correct at any
-    threshold, oracle-comparable, and fine when one side broadcasts.
-    At 100 TB scale set ``use_lsh_prefilter=True``: candidates are
-    restricted to sign-sketch collisions (any of ``n_tables`` tables),
-    turning the cross join into an equi-join on (table, bucket); the
-    re-rank by exact cosine keeps precision 1.0 (recall < 1 is the
-    standard LSH trade-off, measured by tests against exact mode)."""
+    Default (``use_lsh_prefilter=True``) is the 100 TB scale path:
+    candidates are restricted to sign-sketch collisions (any of
+    ``n_tables`` tables), turning the cross join into an equi-join on
+    (table, bucket); the re-rank by exact cosine keeps precision 1.0
+    (recall < 1 is the standard LSH trade-off, measured against exact
+    mode by tests and scripts/recall_report.py).  ``dim`` is inferred
+    with a one-row probe when omitted (array columns carry no length
+    in the schema); pass it explicitly to keep plan construction
+    job-free.
+
+    ``use_lsh_prefilter=False`` is the exact O(N²/2) self-join —
+    correct at any threshold, the recall baseline, and fine when one
+    side broadcasts — but a cartesian at scale: never the default."""
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
     ).withColumn("na", norm(F.col("va")))
@@ -214,7 +220,12 @@ def embedding_near_dup_pairs(
     ).withColumn("nb", norm(F.col("vb")))
     if use_lsh_prefilter:
         if dim is None:
-            raise ValueError("dim is required for the LSH prefilter")
+            probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+            if probe is None or probe["d"] is None:
+                raise ValueError(
+                    "dim could not be inferred (empty input); pass dim="
+                )
+            dim = int(probe["d"])
 
         def sketch(side: DataFrame, idc: str, vc: str, nc: str) -> DataFrame:
             buckets = F.expr(

@@ -1,0 +1,128 @@
+"""Recall report for the approximate similarity paths (BENCH/RECALL.md).
+
+Measures, at $SPARK_GRAFT_SF_DIR (default sf0.1):
+  * embedding_near_dup LSH-prefilter recall vs the exact all-pairs
+    baseline at several cosine thresholds (precision is 1.0 by
+    construction — candidates re-rank by exact cosine);
+  * ANN recall@k for the LSH (multi-table sign-sketch) and IVF
+    (k-means coarse quantizer) paths vs brute-force cosine top-k.
+
+Run: python scripts/recall_report.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+)
+
+
+def main() -> None:
+    from fences_spark.entry_queries import (
+        _ANN_DIM, _ANN_K, _ANN_PLANES, _ANN_TABLES,
+        _IVF_CELLS, _IVF_ITERS, _IVF_NPROBE,
+        _NEARDUP_DIM, _NEARDUP_PLANES, _NEARDUP_TABLES,
+    )
+    from fences_spark.operators import similarity as S
+    from fences_spark.session import get_spark
+
+    spark = get_spark(app="recall_report", cores=8, shuffle_partitions=16)
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    n_vec = emb.count()
+
+    lines = [
+        "# BENCH/RECALL — approximate-path recall vs exact baselines",
+        "",
+        f"Generated: {datetime.datetime.now(datetime.timezone.utc).isoformat(timespec='seconds')}",
+        f"Input: {SF_DIR}/embeddings.parquet ({n_vec} vectors, dim {_NEARDUP_DIM})",
+        "",
+        "Precision is 1.0 on every approximate path by construction:",
+        "candidates re-rank by EXACT cosine, so no false pair survives the",
+        "threshold/top-k cut — recall (candidate coverage) is the only",
+        "trade-off, measured here against the exact all-pairs / brute-force",
+        "baselines.  The synthetic vectors are near-orthogonal, so low",
+        "thresholds are the adversarial case for sign-sketch LSH (collision",
+        "probability per table is (1−θ/π)^planes); genuine near-duplicates",
+        "(cos ≈ 1) collide with probability ≈ 1 — see",
+        "tests/test_training_ops.py::test_near_dup_lsh_prefilter_precision_and_recall",
+        "(≥18/20 planted near-dups recovered).",
+        "",
+        "## embedding_near_dup: LSH prefilter vs exact all-pairs",
+        "",
+        f"Config: planes={_NEARDUP_PLANES}, tables={_NEARDUP_TABLES} "
+        "(the entry/oracle config)",
+        "",
+        "| threshold | exact pairs | LSH pairs | recall |",
+        "|---|---|---|---|",
+    ]
+
+    exact_base = S.embedding_near_dup_pairs(
+        emb, threshold=0.2, use_lsh_prefilter=False
+    ).select("id_a", "id_b", "cos").persist()
+    lsh_base = S.embedding_near_dup_pairs(
+        emb, threshold=0.2, dim=_NEARDUP_DIM,
+        n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
+    ).select("id_a", "id_b", "cos").persist()
+    near_dup_recall: dict[float, float] = {}
+    for thr in (0.2, 0.3, 0.4):
+        n_exact = exact_base.filter(F.col("cos") >= thr).count()
+        n_lsh = lsh_base.filter(F.col("cos") >= thr).count()
+        r = n_lsh / n_exact if n_exact else float("nan")
+        near_dup_recall[thr] = r
+        lines.append(f"| {thr} | {n_exact} | {n_lsh} | {r:.3f} |")
+    exact_base.unpersist()
+    lsh_base.unpersist()
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact_topk = S.cosine_topk(queries, emb, k=_ANN_K).persist()
+    lsh_topk = S.ann_topk_lsh(
+        queries, emb, dim=_ANN_DIM, k=_ANN_K,
+        n_planes=_ANN_PLANES, n_tables=_ANN_TABLES, multiprobe=False,
+    )
+    r_lsh = S.recall_at_k(exact_topk, lsh_topk, _ANN_K)
+    cents = S.ivf_fit_centroids_det(
+        emb, dim=_ANN_DIM, n_cells=_IVF_CELLS, iters=_IVF_ITERS
+    )
+    ivf_topk = S.ivf_topk(queries, emb, cents, k=_ANN_K, nprobe=_IVF_NPROBE)
+    r_ivf = S.recall_at_k(exact_topk, ivf_topk, _ANN_K)
+    # MLlib k-means|| seeding (the non-oracle scale fit): same cells count
+    r_kmpp = float("nan")
+    try:
+        cents_kmpp = S.ivf_fit_centroids(emb, n_cells=_IVF_CELLS, seed=7)
+        ivf_kmpp = S.ivf_topk(queries, emb, cents_kmpp, k=_ANN_K, nprobe=_IVF_NPROBE)
+        r_kmpp = S.recall_at_k(exact_topk, ivf_kmpp, _ANN_K)
+    except Exception as e:  # pragma: no cover - env-dependent
+        lines.append(f"(k-means|| fit unavailable: {e})")
+    exact_topk.unpersist()
+
+    lines += [
+        "",
+        f"## ANN recall@{_ANN_K} vs brute-force cosine top-{_ANN_K} (20 queries)",
+        "",
+        "| path | config | recall@k |",
+        "|---|---|---|",
+        f"| ann_lsh_topk | planes={_ANN_PLANES}, tables={_ANN_TABLES}, no multiprobe | {r_lsh:.3f} |",
+        f"| ann_ivf_topk (deterministic Lloyd fit) | cells={_IVF_CELLS}, nprobe={_IVF_NPROBE}, iters={_IVF_ITERS} | {r_ivf:.3f} |",
+        f"| ann_ivf_topk (k-means&#124;&#124; fit, scale path) | cells={_IVF_CELLS}, nprobe={_IVF_NPROBE} | {r_kmpp:.3f} |",
+        "",
+    ]
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "BENCH", "RECALL.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}")
+    print("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

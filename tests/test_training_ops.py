@@ -167,7 +167,9 @@ class TestSimilarity:
             ).alias("embedding"),
         )
         corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(dup)
-        pairs = S.embedding_near_dup_pairs(corpus, threshold=0.99).collect()
+        pairs = S.embedding_near_dup_pairs(
+            corpus, threshold=0.99, use_lsh_prefilter=False
+        ).collect()
         got = {(r["id_a"], r["id_b"]) for r in pairs}
         assert (0, 100000) in got
         # near-orthogonal synthetic vectors: no false positives at 0.99
@@ -189,7 +191,9 @@ class TestSimilarity:
         ).unionByName(dups)
         exact = {
             (r["id_a"], r["id_b"])
-            for r in S.embedding_near_dup_pairs(corpus, threshold=0.99).collect()
+            for r in S.embedding_near_dup_pairs(
+                corpus, threshold=0.99, use_lsh_prefilter=False
+            ).collect()
         }
         lsh = {
             (r["id_a"], r["id_b"])
@@ -203,6 +207,26 @@ class TestSimilarity:
         assert planted <= exact
         found = len(planted & lsh)
         assert found >= 18, f"LSH found only {found}/20 planted near-dups"
+
+    def test_near_dup_default_is_lsh_with_inferred_dim(self, spark, emb):
+        """The function DEFAULT is the scale path: LSH prefilter with
+        dim inferred by a one-row probe — the plan must be an
+        equi-join on (table, bucket), never a nested-loop/cartesian,
+        and its output a subset of the exact baseline (precision 1)."""
+        sub = emb.filter(F.col("vec_id") < 100).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        df = S.embedding_near_dup_pairs(sub, threshold=0.2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+        lsh = {(r["id_a"], r["id_b"]) for r in df.collect()}
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in S.embedding_near_dup_pairs(
+                sub, threshold=0.2, use_lsh_prefilter=False
+            ).collect()
+        }
+        assert lsh <= exact and lsh
 
     def test_ivf_recall(self, spark, emb):
         centroids = S.ivf_fit_centroids(emb, n_cells=8, seed=7)
