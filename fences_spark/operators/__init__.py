@@ -5,6 +5,12 @@ similarity/text suites for training-data pipelines."""
 from pyspark.sql import Column, functions as F
 
 _SCALE6 = 1_000_000
+# floor(x·10⁶ + 0.5) returns LONG, which overflows (ANSI runtime
+# error) once |x|·10⁶ nears 2⁶³; above this bound a double's ulp is
+# already ≫ 10⁻⁶, so there is no 6-dp fraction to round — pass the
+# value through unchanged (DuckDB's round is likewise an identity
+# there).  9e12 leaves two decades of headroom below 2⁶³/10⁶.
+_ROUND6_MAX = 9.0e12
 
 
 def round6(c: Column) -> Column:
@@ -25,4 +31,6 @@ def round6(c: Column) -> Column:
         c = F.col(c)
     pos = F.floor(c * _SCALE6 + F.lit(0.5)) / F.lit(float(_SCALE6))
     neg = -(F.floor(-c * _SCALE6 + F.lit(0.5)) / F.lit(float(_SCALE6)))
-    return F.when(c >= 0, pos).otherwise(neg)
+    return F.when(
+        F.abs(c) >= F.lit(_ROUND6_MAX), c
+    ).otherwise(F.when(c >= 0, pos).otherwise(neg))

@@ -43,10 +43,9 @@ def _base_signals(base: DataFrame, *, span_k: int = 5) -> DataFrame:
     )
     c3 = g3.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     rep = c3.groupBy("doc_id").agg(
-        F.round(
+        round6(
             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
-            / F.sum("c"),
-            6,
+            / F.sum("c")
         ).alias("rep3")
     )
 

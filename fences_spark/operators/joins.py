@@ -25,7 +25,15 @@ from __future__ import annotations
 import functools
 import operator
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# strict "<amount> <unit>" shape for funnel(max_span=...) — the only
+# thing ever spliced into an INTERVAL literal
+_INTERVAL_RE = re.compile(
+    r"\d+\s+(?:second|minute|hour|day|week|month|year)s?", re.IGNORECASE
+)
 
 
 def asof_join(
@@ -190,6 +198,14 @@ def funnel(
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    if max_span is not None and not _INTERVAL_RE.fullmatch(max_span.strip()):
+        # max_span is interpolated into an INTERVAL literal; reject
+        # anything but "<amount> <unit>" up front so a malformed or
+        # untrusted value is a clear ValueError, not a SQL parse error
+        # (or a smuggled expression)
+        raise ValueError(
+            f"max_span must look like '30 minutes' / '1 hour', got {max_span!r}"
+        )
     ev = events.select(
         F.col(user_col).alias("user_id"),
         F.col(ts_col).alias("ts"),

@@ -96,9 +96,16 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
     else:
         verdicts = curate_documents(valid, idc, txc)
     verdicts.write.mode("overwrite").parquet(cfg.path("curation"))
-    kept = valid.join(
-        verdicts.filter(F.col("keep")).select(F.col("doc_id").alias(idc)), idc
+    # read the keep set back from the sink just written: the live
+    # `verdicts` lineage is the full (expensive) curation DAG, and it
+    # would re-execute for every downstream consumer; the parquet
+    # read is a 1-column pruned scan instead
+    kept_ids = (
+        spark.read.parquet(cfg.path("curation"))
+        .filter(F.col("keep"))
+        .select(F.col("doc_id").alias(idc))
     )
+    kept = valid.join(kept_ids, idc).persist(StorageLevel.MEMORY_AND_DISK)
 
     # 3. near-dup dedup (keep cluster canonicals) ------------------------
     pairs = minhash_lsh_pairs(kept, idc, txc)
@@ -141,6 +148,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
     _write_text(spark, cfg.path("summary.json"),
                 json.dumps(summary, indent=1, sort_keys=True))
     valid.unpersist()
+    kept.unpersist()
     surviving.unpersist()
     return summary
 

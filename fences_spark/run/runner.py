@@ -201,9 +201,13 @@ class ValidationRunner:
         # full input scan — without it the verdicts write AND the
         # metrics collect below would each re-scan the input (a third
         # full pass at 10^12-row scale)
+        # violation_rows counts EXPLODED (row, rule) violation rows —
+        # a row breaking k rules contributes k — matching exactly what
+        # the violations sink wrote; rows_invalid counts rows.
         per_bucket = annotated.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum((~F.col("row_valid")).cast("long")).alias("rows_invalid"),
+            F.sum(F.size("violations")).alias("violation_rows"),
             *agg_exprs,
         ).persist()
         stack = ", ".join(f"'{rid}', {rid}__pass, {rid}__fail" for rid in res.rule_ids)
@@ -216,7 +220,9 @@ class ValidationRunner:
         verdicts.write.mode("overwrite").partitionBy("bucket").parquet(cfg.verdicts_path)
 
         # metrics + lineage per bucket (driver-collected: ≤ n_buckets rows)
-        stats = per_bucket.select("bucket", "rows", "rows_invalid").collect()
+        stats = per_bucket.select(
+            "bucket", "rows", "rows_invalid", "violation_rows"
+        ).collect()
         per_bucket.unpersist()
         secs = time.time() - t0
         seen = {r["bucket"] for r in stats}
@@ -240,7 +246,7 @@ class ValidationRunner:
             if b in seen:
                 summary.rows_processed += int(n_rows)
         summary.buckets_processed += len(buckets)
-        summary.violations_written += sum(r["rows_invalid"] for r in stats)
+        summary.violations_written += sum(r["violation_rows"] for r in stats)
 
         self.spark.createDataFrame(
             metric_rows,

@@ -197,6 +197,27 @@ class TestFunnel:
         out = funnel(df, ["view", "click"]).first()
         assert out["depth"] == 2  # >= semantics: simultaneous steps chain
 
+    def test_malformed_max_span_is_value_error(self, spark):
+        """max_span is spliced into an INTERVAL literal — anything but
+        '<amount> <unit>' must be a clear ValueError up front, never a
+        SQL parse error or a smuggled expression."""
+        from datetime import datetime
+
+        import pytest as _pt
+
+        from fences_spark.operators.joins import funnel
+
+        df = spark.createDataFrame(
+            [(1, datetime(2026, 1, 1), "view")],
+            "user_id long, ts timestamp, event_type string",
+        )
+        for bad in ("1 fortnight", "1; DROP TABLE x", "'1' hour", "hour"):
+            with _pt.raises(ValueError, match="max_span"):
+                funnel(df, ["view"], max_span=bad)
+        # the documented shapes still pass validation
+        funnel(df, ["view"], max_span="30 minutes")
+        funnel(df, ["view"], max_span="1 HOUR")
+
 
 class TestCohortRetention:
     def test_retention_triangle(self, spark):

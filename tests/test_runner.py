@@ -52,6 +52,29 @@ def test_full_run_writes_everything(spark, cfg):
     assert set(lin["tiers"].values()) == {"typed"}  # all builtin tier
 
 
+def test_violations_written_counts_exploded_rows(spark, cfg):
+    """A row breaking k rules contributes k to violations_written —
+    the counter mirrors the violations SINK (exploded rows), not the
+    invalid-ROW count.  Pinned with two rules that the same defective
+    rows (null/empty content) both violate."""
+    from fences_spark.compiler.ruleset import RuleSet
+
+    files = files_table(spark, N)
+    rs = (
+        RuleSet()
+        .add("content_present", "content", {"type": "string", "minLength": 1})
+        .add("content_long", "content", {"type": "string", "minLength": 2})
+    )
+    s = ValidationRunner(spark, rs, cfg).run(files)
+    viol = spark.read.parquet(cfg.violations_path)
+    assert s.violations_written == viol.count()
+    exp = expected_defect_counts(N)
+    n_bad = exp["null_content"] + exp["empty_content"]
+    # every bad-content row violates both rules → exploded count is 2×
+    # the invalid-row count
+    assert s.violations_written == 2 * n_bad
+
+
 def test_resume_skips_completed(spark, cfg):
     files = files_table(spark, N)
     runner = ValidationRunner(spark, files_ruleset(), cfg)

@@ -1291,3 +1291,23 @@ def test_round6_matches_duckdb_round(spark):
     one = spark.range(1).select(
         F.round(expr, 6).alias("spark_r"), round6(expr).alias("r6")).first()
     assert one["spark_r"] == 0.876262 and one["r6"] == 0.876263
+
+
+def test_round6_huge_magnitudes_pass_through(spark):
+    """Beyond |x| ≈ 9e12 the scaled floor would overflow LONG (ANSI
+    runtime error); round6 must pass such magnitudes through unchanged
+    (a double's ulp is ≫ 1e-6 there, so there is nothing to round) —
+    matching DuckDB, whose round is likewise an identity there."""
+    import duckdb
+
+    from fences_spark.operators import round6
+
+    vals = [9.3e12, -9.3e12, 1.5e18, -1.5e18, 4.56e15, 8.999999e12]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    got = {r["i"]: r["y"] for r in df.select("i", round6(F.col("x")).alias("y")).collect()}
+    duck = dict(duckdb.sql(
+        "SELECT i, round(x, 6) FROM (SELECT UNNEST(range(6)) i, UNNEST("
+        + str(vals) + "::DOUBLE[]) x)"
+    ).fetchall())
+    for i, v in enumerate(vals):
+        assert got[i] == duck[i] == v, (i, v, got[i], duck[i])
