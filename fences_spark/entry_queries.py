@@ -1814,6 +1814,33 @@ def q_generate_confusion_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_generate_cover_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same distributed confusion workflow, but samples come from the
+    reference's headline SET-COVER path generation (fences
+    core/node.py:220-264, rebuilt in schema/pathcover.py): a decision
+    graph per schema, distance-labeled greedy paths until every fence
+    leaf is covered, one fence crossed per sample.  Emits per-schema
+    confusion counts vs the external jsonschema oracle — diagonal
+    (fp = fn = 0) rows are the minimal-covering-set exactness claim.
+    Rows-only entry: the generator is Python, not SQL-expressible;
+    coverage/label guarantees pinned in tests/test_pathcover.py."""
+    from fences_spark.fixtures import DIALECT_ONLY, ORACLE_SPECS
+    from fences_spark.schema.distributed import confusion_over
+
+    rows = [
+        (i, name, json.dumps(ORACLE_SPECS[name]))
+        for i, name in enumerate(sorted(set(ORACLE_SPECS) - DIALECT_ONLY))
+    ]
+    schemas = spark.createDataFrame(
+        rows, "schema_id long, name string, schema_json string"
+    )
+    conf = confusion_over(schemas, method="cover")
+    return (
+        conf.join(schemas.select("schema_id", "name"), "schema_id")
+        .select("schema_id", "name", "n_samples", "tp", "tn", "fp", "fn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # grammar dialect (SURVEY.md §2.E) — validator dual of the reference's
 # EBNF combinators (fences/grammar/types.py:5-98, convert.py:46-142)
@@ -2947,6 +2974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_docs": q_langid_docs,
     "validate_files_200k": q_validate_files_200k,
     "generate_confusion_fixtures": q_generate_confusion_fixtures,
+    "generate_cover_fixtures": q_generate_cover_fixtures,
     "multimodal_resize": q_multimodal_resize,
     "mix_interleave_docs": q_mix_interleave_docs,
     "blocklist_docs": q_blocklist_docs,

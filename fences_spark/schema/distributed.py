@@ -33,8 +33,24 @@ CONFUSION_SCHEMA = (
 )
 
 
+def _sampler(method: str):
+    """Resolve the per-schema sample generator.  ``enumerate`` is the
+    per-keyword boundary enumeration (schema/generate.py);``cover`` is
+    the reference's set-cover path generation (schema/pathcover.py,
+    fences core/node.py:220-264) — fewer samples, combination
+    coverage, same evaluator-labeled contract."""
+    if method == "cover":
+        from fences_spark.schema.pathcover import covering_samples
+
+        return covering_samples
+    from fences_spark.schema.generate import generate_samples
+
+    return generate_samples
+
+
 def generate_over(
-    schemas: DataFrame, *, id_col: str = "schema_id", schema_col: str = "schema_json"
+    schemas: DataFrame, *, id_col: str = "schema_id", schema_col: str = "schema_json",
+    method: str = "enumerate",
 ) -> DataFrame:
     """One row per fences-style boundary sample for every schema row:
     (schema_id, sample_json, expected_valid).  expected_valid is the
@@ -42,7 +58,7 @@ def generate_over(
     confusion-matrix gate pins against jsonschema."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from fences_spark.schema.generate import generate_samples
+        generate_samples = _sampler(method)
 
         for pdf in batches:
             out = {"schema_id": [], "sample_json": [], "expected_valid": []}
@@ -57,7 +73,8 @@ def generate_over(
 
 
 def confusion_over(
-    schemas: DataFrame, *, id_col: str = "schema_id", schema_col: str = "schema_json"
+    schemas: DataFrame, *, id_col: str = "schema_id", schema_col: str = "schema_json",
+    method: str = "enumerate",
 ) -> DataFrame:
     """Distributed ConfusionMatrix: generate every schema's samples and
     score our evaluator against the external ``jsonschema`` validator
@@ -70,7 +87,7 @@ def confusion_over(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import jsonschema
 
-        from fences_spark.schema.generate import generate_samples
+        generate_samples = _sampler(method)
 
         cls = jsonschema.Draft202012Validator
         # format-assertion on, same as the pytest gate: the dialect
