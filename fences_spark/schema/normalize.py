@@ -392,10 +392,70 @@ def _merge_prefix_items(a: list, b: list, items_a: Any, items_b: Any) -> list:
     return out
 
 
+_OBJ_GROUP = ("properties", "patternProperties", "additionalProperties")
+
+
 def merge_options(a: dict, b: dict) -> dict:
-    """Conjunction of two flat options into one option."""
-    out = dict(a)
+    """Conjunction of two flat options into one option.
+
+    Scoped keyword groups need care: ``additionalProperties`` means
+    "keys not in MY adjacent properties/patternProperties" and
+    ``items`` means "positions past MY adjacent prefixItems", so
+    copying one side's ``properties``/``patternProperties``/
+    ``prefixItems`` next to the other side's ``additionalProperties``/
+    ``items`` silently re-scopes the latter (caught by the vendored
+    JSON-Schema-Test-Suite cases "additionalProperties does not look
+    in applicators" / "items does not look in applicators"):
+
+    * properties × additionalProperties without patternProperties:
+      synthesize an empty ``properties`` on the bare side so the
+      key-pairing fold sees both sides' additionalProperties;
+    * patternProperties + additionalProperties across sides: no flat
+      adjacent form preserves both scopes — keep b's whole object
+      group as a literal allOf branch (the documented relaxation);
+    * prefixItems × items: synthesize an empty ``prefixItems`` on the
+      items-only side so zip-padding conjoins its items into every
+      positional slot;
+    * min/maxContains are inert without an adjacent ``contains``
+      (draft 2020-12) and must not strengthen the other side's —
+      drop strays, and branch b's contains-group when both sides
+      carry one.
+    """
+    a, b = dict(a), dict(b)
     extra_allof: list = []
+
+    # drop inert min/maxContains (no adjacent contains)
+    for side in (a, b):
+        if "contains" not in side:
+            side.pop("minContains", None)
+            side.pop("maxContains", None)
+    # both sides constrain contains: keep b's group as its own branch
+    if "contains" in a and "contains" in b:
+        grp = {k: b.pop(k) for k in ("contains", "minContains", "maxContains") if k in b}
+        extra_allof.append(grp)
+
+    ga = [k for k in _OBJ_GROUP if k in a]
+    gb = [k for k in _OBJ_GROUP if k in b]
+    if ga and gb:
+        has_pp = "patternProperties" in a or "patternProperties" in b
+        has_ap = "additionalProperties" in a or "additionalProperties" in b
+        if has_pp and has_ap:
+            # un-flattenable scope interaction: branch b's group intact
+            extra_allof.append({k: b.pop(k) for k in gb})
+        elif has_ap:
+            a.setdefault("properties", {})
+            b.setdefault("properties", {})
+
+    # items applies to ALL positions when no prefixItems is adjacent:
+    # give the items-only side an empty prefixItems so the zip-pad
+    # folds its items into the other side's positional slots
+    if ("prefixItems" in a) != ("prefixItems" in b):
+        if "prefixItems" not in a and "items" in a:
+            a["prefixItems"] = []
+        if "prefixItems" not in b and "items" in b:
+            b["prefixItems"] = []
+
+    out = dict(a)
     for k, v in b.items():
         if k in ANNOTATION_KEYWORDS:
             continue
