@@ -303,6 +303,7 @@ def curate_documents_full(
     p_lo: float = 0.05,
     p_hi: float = 0.95,
     persist_base: bool = True,
+    staging_path: str | None = None,
 ) -> DataFrame:
     """(doc_id, keep, reasons) — the END-TO-END keep/drop verdict
     composing every curation signal the engine implements, in one
@@ -322,17 +323,30 @@ def curate_documents_full(
 
     Scale note: the signal subtrees are independent, so Catalyst
     plans one SCAN PER SIGNAL (~8 passes over (doc_id, text)).  At
-    small scale the OS page cache absorbs this; at 100 TB persist the
-    two-column projection first (``df.select(id, text).persist(
-    StorageLevel.DISK_ONLY)`` or a materialized staging table) so
-    every signal reads the cached columnar form instead of re-decoding
-    parquet — the join chain itself is already shuffle-minimal.
+    small scale the OS page cache absorbs this; at 100 TB pass
+    ``staging_path`` — the two-column projection is materialized to
+    parquet there in ONE scan of the raw table, and every signal
+    subtree then reads the narrow staging table (tests/
+    test_curate_staging.py pins that the final plan scans only the
+    staging location).  ``persist_base`` (executor-memory cache) is
+    the zero-setup middle ground when no staging location exists;
+    staging wins at scale because disk-backed parquet survives
+    executor loss and memory pressure, and the staging scan decodes
+    2 columns instead of the raw table's full width.
     """
     from fences_spark.operators.sampling import hash_bucket, threshold_hex
 
     base = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
+    if staging_path is not None:
+        # ONE scan of the raw table; all ~8 signal subtrees re-read
+        # the 2-column staging parquet instead.  Eager by design —
+        # the write is the scan-dedup point.
+        spark = df.sparkSession
+        base.write.mode("overwrite").parquet(staging_path)
+        base = spark.read.parquet(staging_path)
+        persist_base = False
     if persist_base:
         # the signal subtrees are independent, so Catalyst plans one
         # scan per signal (~8 passes); persisting the two-column
