@@ -52,6 +52,7 @@ HEADLINE = [
     "asof_click_purchase",
     "range_view_error",
     "sessionize_events",
+    "stream_sessionize_events",
     "funnel_events",
     "retention_events",
     "cube_order_stats",

@@ -881,6 +881,80 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization REPLAYED over the static events table
+    — the driver-gated dual of `sessionize_events`, exercising the
+    real Structured Streaming path (streaming/curate.session_stream:
+    watermark + session_window + append-mode finalization + WAL-
+    checkpointed parquet sink) end-to-end, then reading the sink back
+    as a batch frame.
+
+    Semantics under one availableNow drain (pinned by probe + tests):
+    the final watermark is max(ts) - delay, and a session is emitted
+    iff its dynamic end (last event + gap) <= watermark — inclusive
+    at the tie.  The DuckDB oracle is the batch gaps-and-islands
+    sessionization WITH that finalization filter, so the driver gate
+    covers the streaming late-data/finalization contract, not just
+    session shapes.
+
+    The input is staged as ONE parquet file so the drain is a single
+    micro-batch (no intra-replay late rows); event time is cast
+    NTZ->TIMESTAMP under a UTC session timezone (watermarks require
+    TIMESTAMP) and the emitted bounds are cast back to NTZ so the
+    result is timezone-independent."""
+    import os
+    import tempfile
+
+    from fences_spark.streaming.curate import CurateStreamConfig, start_session_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    work = tempfile.mkdtemp(prefix="fences_stream_sess_")
+    src = os.path.join(work, "src")
+    ev.coalesce(1).write.parquet(src)
+    cfg = CurateStreamConfig(output_dir=work)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = start_session_stream(
+        stream, cfg, gap="30 minutes", delay="30 minutes", value_col="value"
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(cfg.sessions_path)
+    return out.select(
+        "user_id",
+        F.col("s_start").cast("timestamp_ntz").alias("s_start"),
+        F.col("s_end").cast("timestamp_ntz").alias("s_end"),
+        "n_events",
+        F.col("total_value").alias("sum_value"),
+    )
+
+
+SQL_STREAM_SESSIONIZE_EVENTS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       MIN(ts) AS s_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+HAVING MAX(ts) + INTERVAL 30 MINUTE
+       <= (SELECT MAX(ts) - INTERVAL 30 MINUTE FROM events)
+"""
+
+
 def q_range_view_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: view events landing inside any same-user error
     incident window (error ts ± 30 minutes) — one row per
@@ -2957,6 +3031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_click_purchase": q_asof_click_purchase,
     "range_view_error": q_range_view_error,
     "sessionize_events": q_sessionize_events,
+    "stream_sessionize_events": q_stream_sessionize_events,
     "funnel_events": q_funnel_events,
     "retention_events": q_retention_events,
     "embedding_topk": q_embedding_topk,
@@ -3042,6 +3117,7 @@ ORACLE_SQL: dict[str, str] = {
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
     "range_view_error": SQL_RANGE_VIEW_ERROR,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "stream_sessionize_events": SQL_STREAM_SESSIONIZE_EVENTS,
     "funnel_events": SQL_FUNNEL_EVENTS,
     "retention_events": SQL_RETENTION_EVENTS,
     "embedding_topk": SQL_EMBEDDING_TOPK,

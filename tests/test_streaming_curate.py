@@ -319,3 +319,33 @@ class TestStreamingNearDup:
             F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))).alias("fp"),
         ).collect()}
         assert fps[1] != fps[2]
+
+
+class TestStreamSessionizeEntry:
+    """The driver-gated streaming replay entry: one availableNow drain
+    over the static events table emits exactly the batch sessions
+    finalized by the final watermark (max ts - delay), tie-inclusive."""
+
+    def test_entry_matches_batch_finalized(self, spark):
+        import datetime
+
+        from fences_spark.entry_queries import q_sessionize_events, q_stream_sessionize_events
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r["user_id"], str(r["s_start"]), str(r["s_end"]), r["n_events"], r["sum_value"])
+            for r in q_stream_sessionize_events(spark, sf).collect()
+        }
+        batch = q_sessionize_events(spark, sf)
+        mx = spark.read.parquet(f"{sf}/events.parquet").agg(F.max("ts")).collect()[0][0]
+        wm = mx - datetime.timedelta(minutes=30)
+        want = {
+            (r["user_id"], str(r["s_start"]), str(r["s_end"]), r["n_events"], r["sum_value"])
+            for r in batch.collect()
+            if r["s_end"] <= wm
+        }
+        assert got == want
+        assert len(got) > 0
+        # at least one open (non-finalized) trailing session exists,
+        # so the finalization filter is actually exercised
+        assert batch.count() > len(got)
