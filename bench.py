@@ -119,18 +119,29 @@ def main() -> None:
         total += best
         print(f"# {name}: {n} rows in {best:.2f}s (min of 2)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": CPUS,
-            }
-        )
-    )
+    # skew-stress block (north rule: explicit skew handling) — the
+    # same skew-sensitive jobs on a uniform vs a pathologically skewed
+    # input of identical size; criterion wall(skewed) <= 2x
+    # wall(uniform) per job, plus plan evidence that AQE's skew-join
+    # split actually fired.  Disable with SPARK_GRAFT_SKIP_SKEW=1.
+    skew_block = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SKEW", "0") != "1":
+        from fences_spark.skewbench import run_skew_stress
+
+        skew_rows = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "2000000"))
+        skew_block = run_skew_stress(spark, n=skew_rows).as_dict()
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+    }
+    if skew_block is not None:
+        out["skew_stress"] = skew_block
+    print(json.dumps(out))
     spark.stop()
 
 
