@@ -2859,6 +2859,37 @@ FROM dims
 """
 
 
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode end-to-end: a deterministic distributed
+    table of actual BMP / PCM-WAV / RAWV-video payloads
+    (synth_real_media_table) is decoded by the same Arrow mapInPandas
+    operator the fake path uses — per-channel pixel statistics for
+    images, PCM sample statistics for audio, first-frame features for
+    video (operators/codecs.py, pure numpy, no codec library).
+
+    Rows-only driver gate (DuckDB cannot parse BMP/WAV); the value
+    correctness lives in tests/test_codecs.py, which re-decodes
+    payloads locally and asserts feature/geometry/digest equality,
+    and determinism across parallelism is pinned by
+    test_synth_real_media_deterministic_and_distributed."""
+    from fences_spark.operators.multimodal import (
+        extract_features,
+        synth_real_media_table,
+    )
+
+    media = synth_real_media_table(spark, 300)
+    feats = extract_features(media, decode="real")
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: F.format_number(x.cast("double"), 6)),
+            ",",
+        ).alias("feature_sig"),
+    ).orderBy("media_id")
+
+
 def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word-5-gram with the held-out eval split (a deterministic 5%
@@ -3051,6 +3082,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "generate_confusion_fixtures": q_generate_confusion_fixtures,
     "generate_cover_fixtures": q_generate_cover_fixtures,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_real_decode": q_multimodal_real_decode,
     "mix_interleave_docs": q_mix_interleave_docs,
     "blocklist_docs": q_blocklist_docs,
     "length_band_docs": q_length_band_docs,
@@ -3134,4 +3166,6 @@ ORACLE_SQL: dict[str, str] = {
     "quality_docs": SQL_QUALITY_DOCS,
     "langid_docs": SQL_LANGID_DOCS,
     # validate_files_200k: rows-only (input is synthesized, not an sf table)
+    # multimodal_real_decode: rows-only (DuckDB cannot parse BMP/WAV payloads;
+    #   value correctness is pinned by tests/test_codecs.py local re-decode)
 }

@@ -81,6 +81,47 @@ def main() -> None:
     exact_base.unpersist()
     lsh_base.unpersist()
 
+    # --- planted near-duplicates: the regime the operator exists for ---
+    # 40 planted pairs at cos ≈ 0.97-0.99 (unit base vector + small
+    # perturbation) mixed into 1000 random decoys; seeded numpy,
+    # driver-generated (report script only — the operators under test
+    # still run distributed).
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(424242))
+    n_pairs, n_decoy, dim = 40, 1000, _NEARDUP_DIM
+    rows = []
+    vid = 0
+    for _ in range(n_pairs):
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        pert = base + rng.normal(scale=0.08, size=dim)
+        rows.append((vid, [float(x) for x in base])); vid += 1
+        rows.append((vid, [float(x) for x in pert])); vid += 1
+    for _ in range(n_decoy):
+        rows.append((vid, [float(x) for x in rng.normal(size=dim)])); vid += 1
+    planted = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact_planted = S.embedding_near_dup_pairs(
+        planted, threshold=0.9, use_lsh_prefilter=False
+    ).count()
+    lsh_planted = S.embedding_near_dup_pairs(
+        planted, threshold=0.9, dim=dim,
+        n_planes=_NEARDUP_PLANES, n_tables=_NEARDUP_TABLES,
+    ).count()
+    lines += [
+        "",
+        "## embedding_near_dup: PLANTED near-duplicates (the operating regime)",
+        "",
+        f"{n_pairs} planted pairs at cos ≈ 0.97-0.99 among {n_decoy} random",
+        "decoys, threshold 0.9 — the dedup setting the operator exists for",
+        "(near-orthogonal thresholds above are the adversarial stress case):",
+        "",
+        "| threshold | exact pairs | LSH pairs | recall |",
+        "|---|---|---|---|",
+        f"| 0.9 | {exact_planted} | {lsh_planted} | "
+        f"{(lsh_planted / exact_planted if exact_planted else float('nan')):.3f} |",
+    ]
+
     queries = emb.filter(F.col("vec_id") < 20)
     exact_topk = S.cosine_topk(queries, emb, k=_ANN_K).persist()
     lsh_topk = S.ann_topk_lsh(
@@ -88,19 +129,32 @@ def main() -> None:
         n_planes=_ANN_PLANES, n_tables=_ANN_TABLES, multiprobe=False,
     )
     r_lsh = S.recall_at_k(exact_topk, lsh_topk, _ANN_K)
+    lsh_topk_mp = S.ann_topk_lsh(
+        queries, emb, dim=_ANN_DIM, k=_ANN_K,
+        n_planes=_ANN_PLANES, n_tables=_ANN_TABLES, multiprobe=True,
+    )
+    r_lsh_mp = S.recall_at_k(exact_topk, lsh_topk_mp, _ANN_K)
     cents = S.ivf_fit_centroids_det(
         emb, dim=_ANN_DIM, n_cells=_IVF_CELLS, iters=_IVF_ITERS
     )
     ivf_topk = S.ivf_topk(queries, emb, cents, k=_ANN_K, nprobe=_IVF_NPROBE)
     r_ivf = S.recall_at_k(exact_topk, ivf_topk, _ANN_K)
-    # MLlib k-means|| seeding (the non-oracle scale fit): same cells count
-    r_kmpp = float("nan")
+    # MLlib k-means|| seeding (the non-oracle scale fit), nprobe sweep:
+    # on uniform random vectors a BALANCED quantizer covers ≈ nprobe/cells
+    # of the corpus per query, so recall tracks that fraction and rises
+    # to 1.0 as nprobe → cells — the knob, not a defect of the fit.
+    kmpp_rows: list[str] = []
     try:
         cents_kmpp = S.ivf_fit_centroids(emb, n_cells=_IVF_CELLS, seed=7)
-        ivf_kmpp = S.ivf_topk(queries, emb, cents_kmpp, k=_ANN_K, nprobe=_IVF_NPROBE)
-        r_kmpp = S.recall_at_k(exact_topk, ivf_kmpp, _ANN_K)
+        for nprobe in (_IVF_NPROBE, 4, _IVF_CELLS):
+            ivf_kmpp = S.ivf_topk(queries, emb, cents_kmpp, k=_ANN_K, nprobe=nprobe)
+            r = S.recall_at_k(exact_topk, ivf_kmpp, _ANN_K)
+            kmpp_rows.append(
+                f"| ann_ivf_topk (k-means&#124;&#124; fit, scale path) | "
+                f"cells={_IVF_CELLS}, nprobe={nprobe} | {r:.3f} |"
+            )
     except Exception as e:  # pragma: no cover - env-dependent
-        lines.append(f"(k-means|| fit unavailable: {e})")
+        kmpp_rows.append(f"(k-means|| fit unavailable: {e})")
     exact_topk.unpersist()
 
     lines += [
@@ -110,8 +164,16 @@ def main() -> None:
         "| path | config | recall@k |",
         "|---|---|---|",
         f"| ann_lsh_topk | planes={_ANN_PLANES}, tables={_ANN_TABLES}, no multiprobe | {r_lsh:.3f} |",
+        f"| ann_lsh_topk | planes={_ANN_PLANES}, tables={_ANN_TABLES}, Hamming-1 multiprobe | {r_lsh_mp:.3f} |",
         f"| ann_ivf_topk (deterministic Lloyd fit) | cells={_IVF_CELLS}, nprobe={_IVF_NPROBE}, iters={_IVF_ITERS} | {r_ivf:.3f} |",
-        f"| ann_ivf_topk (k-means&#124;&#124; fit, scale path) | cells={_IVF_CELLS}, nprobe={_IVF_NPROBE} | {r_kmpp:.3f} |",
+        *kmpp_rows,
+        "",
+        "The deterministic-Lloyd row looks better than k-means|| at the same",
+        "nprobe only because its 1-iteration fit leaves one giant cell that",
+        "most queries probe — trivial recall, terrible balance (it exists for",
+        "cross-engine oracle reproducibility, not quality).  The k-means||",
+        "rows show the real trade-off: balanced cells, recall = the nprobe",
+        "knob, reaching 1.0 at nprobe=cells.",
         "",
     ]
 
