@@ -121,6 +121,37 @@ def lsh_bucket_sql(vec_sql: str, dim: int, n_planes: int, seed: str = "lsh") -> 
     return "(" + " + ".join(terms) + ")"
 
 
+def lsh_all_buckets_sql(
+    vec_sql: str, dim: int, n_planes: int, n_tables: int, seed: str
+) -> str:
+    """All ``n_tables`` bucket ids in ONE expression: the per-table
+    per-plane ±1 weights sit in a single nested array literal and the
+    sign-bit fold runs through higher-order functions.  Buckets are
+    BIT-IDENTICAL to ``lsh_bucket_sql`` per table (same left-fold dot
+    product, same ``> 0`` sign, same bit weights — pinned by
+    tests/test_training_ops.py::test_lsh_matrix_form_bit_identical);
+    what changes is plan size: one array literal instead of
+    tables × planes separate aggregate subtrees, which cuts Catalyst
+    parse+analysis from seconds to milliseconds at 8×8×64."""
+    w = "array(" + ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(
+                f"{_plane_weight(p, i, f'{seed}:{t}'):.1f}D" for i in range(dim)
+            ) + ")"
+            for p in range(n_planes)
+        ) + ")"
+        for t in range(n_tables)
+    ) + ")"
+    return (
+        f"transform({w}, wt -> aggregate("
+        f"zip_with(wt, sequence(0, {n_planes - 1}), "
+        f"(wp, p) -> CASE WHEN aggregate(zip_with({vec_sql}, wp, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0 "
+        f"THEN shiftleft(1, p) ELSE 0 END), "
+        f"0, (acc, v) -> acc + v))"
+    )
+
+
 def _neighbor_buckets(bucket: Column, n_planes: int) -> Column:
     """Multi-probe: the bucket itself plus all Hamming-1 neighbors."""
     return F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
@@ -227,25 +258,41 @@ def embedding_near_dup_pairs(
                 )
             dim = int(probe["d"])
 
-        def sketch(side: DataFrame, idc: str, vc: str, nc: str) -> DataFrame:
-            buckets = F.expr(
-                "array("
-                + ",".join(lsh_bucket_sql(vc, dim, n_planes, f"{seed}:{t}") for t in range(n_tables))
-                + ")"
-            )
-            return side.select(idc, vc, nc, F.posexplode(buckets).alias("tbl", "bucket"))
-
+        # sketch ONCE and self-join the aliased relation: both join
+        # sides share the identical child plan, so the (tbl, bucket)-
+        # keyed shuffle exchange is computed once and REUSED
+        # (ReusedExchange) — the two-subtree version paid the sketch
+        # projection (tables × planes dot products per row) twice
+        v = F.col(vec_col).cast("array<double>")
+        sk = df.select(
+            F.col(id_col).alias("sid"),
+            v.alias("sv"),
+            norm(v).alias("sn"),
+            F.posexplode(
+                F.expr(lsh_all_buckets_sql(
+                    f"CAST({vec_col} AS ARRAY<DOUBLE>)", dim, n_planes, n_tables, seed
+                ))
+            ).alias("tbl", "bucket"),
+        )
+        # sort-merge, not broadcast: the sketch relation is the FULL
+        # corpus exploded n_tables× — at scale it can never broadcast,
+        # and even at bench scale the merge join wins 2× because the
+        # sorted (tbl, bucket) runs pair up without re-probing the
+        # 64-dim array payloads (AQE would pick broadcast from the
+        # tiny-input size estimate alone)
         cand = (
-            sketch(a, "id_a", "va", "na")
-            .join(sketch(b, "id_b", "vb", "nb"), ["tbl", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
+            sk.alias("a").hint("merge")
+            .join(sk.alias("b"), ["tbl", "bucket"])
+            .filter(F.col("a.sid") < F.col("b.sid"))
         )
         # score before dedup: scalar-keyed distinct, not array-keyed
         return (
             cand.select(
-                "id_a",
-                "id_b",
-                round6(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+                F.col("a.sid").alias("id_a"),
+                F.col("b.sid").alias("id_b"),
+                round6(
+                    dot(F.col("a.sv"), F.col("b.sv")) / (F.col("a.sn") * F.col("b.sn"))
+                ).alias("cos"),
             )
             .distinct()
             .filter(F.col("cos") >= threshold)

@@ -82,8 +82,9 @@ def main() -> None:
     lsh_base.unpersist()
 
     # --- planted near-duplicates: the regime the operator exists for ---
-    # 40 planted pairs at cos ≈ 0.97-0.99 (unit base vector + small
-    # perturbation) mixed into 1000 random decoys; seeded numpy,
+    # 40 planted pairs at cos ≈ 0.95-0.98 (unit base vector + gaussian
+    # perturbation, scale 0.03: E[cos] = 1/sqrt(1 + s²·dim) ≈ 0.972 at
+    # dim 64) mixed into 1000 random decoys; seeded numpy,
     # driver-generated (report script only — the operators under test
     # still run distributed).
     import numpy as np
@@ -95,7 +96,7 @@ def main() -> None:
     for _ in range(n_pairs):
         base = rng.normal(size=dim)
         base /= np.linalg.norm(base)
-        pert = base + rng.normal(scale=0.08, size=dim)
+        pert = base + rng.normal(scale=0.03, size=dim)
         rows.append((vid, [float(x) for x in base])); vid += 1
         rows.append((vid, [float(x) for x in pert])); vid += 1
     for _ in range(n_decoy):

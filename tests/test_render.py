@@ -60,3 +60,59 @@ def test_ruleset_dot_one_root_per_rule(spark):
     assert _balanced(dot)
     assert dot.count("doubleoctagon") == 2
     assert "a @ x [typed]" in dot and "b @ y [typed]" in dot
+
+
+# ---------------------------------------------------------------------------
+# SVG rendering (built-in layered layout — the raster path the
+# reference reaches through pydot/graphviz, core/render.py:28-40)
+# ---------------------------------------------------------------------------
+
+from fences_spark.render import ruleset_svg, schema_svg  # noqa: E402
+
+
+def _is_svg(s: str) -> bool:
+    return s.startswith("<svg") and s.rstrip().endswith("</svg>") and "xmlns" in s
+
+
+def test_svg_simple_conjunction():
+    svg = schema_svg({"type": "string", "minLength": 1, "pattern": "^a+$"})
+    assert _is_svg(svg)
+    assert ">ALL<" in svg
+    assert "minLength: 1" in svg
+    # every node drew a shape and a label
+    assert svg.count("<text") >= svg.count("<rect") - 1
+
+
+def test_svg_boolean_colors():
+    assert 'stroke="green"' in schema_svg(True)
+    assert 'stroke="red"' in schema_svg({"anyOf": [False]})
+
+
+def test_svg_ref_is_yellow_and_edges_have_arrowheads():
+    svg = schema_svg(
+        {"$defs": {"node": {"type": "object",
+                            "properties": {"next": {"$ref": "#/$defs/node"}}}},
+         "$ref": "#/$defs/node"}
+    )
+    assert _is_svg(svg)
+    assert 'fill="yellow"' in svg
+    assert 'marker-end="url(#arr)"' in svg
+    # recursive $ref must not loop the layout
+    assert svg.count("<svg") == 1
+
+
+def test_svg_escapes_labels():
+    svg = schema_svg({"pattern": '<a>&"b"'})
+    assert "&lt;a&gt;" in svg and "&amp;" in svg
+
+
+def test_ruleset_svg_multi_root():
+    from fences_spark.compiler.ruleset import Rule, RuleSet
+
+    rs = RuleSet([
+        Rule("r1", "lang", {"enum": ["py", "go"]}, mode="typed"),
+        Rule("r2", "content", {"type": "string", "minLength": 1}, mode="typed"),
+    ])
+    svg = ruleset_svg(rs)
+    assert _is_svg(svg)
+    assert "r1 @ lang [typed]" in svg and "r2 @ content [typed]" in svg

@@ -375,9 +375,12 @@ class TestMultimodal:
         n_videos = media.filter("modality = 'video'").count()
         assert len(agg) == n_videos
 
-    def test_real_decode_raises(self, spark):
+    def test_real_decode_rejects_opaque_payloads(self, spark):
+        """Hash-byte payloads are no recognizable container: real
+        decode refuses them with the codec-library message (the
+        succeeding real path is covered by tests/test_codecs.py)."""
         media = synth_media_table(spark, 3)
-        with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        with pytest.raises(Exception, match="NotImplementedError|BMP/WAV/RAWV"):
             extract_features(media, decode="real").collect()
 
     def test_entry_queries_match_duckdb(self, spark):
@@ -1020,11 +1023,15 @@ class TestResizeImages:
             ).hexdigest()
             assert r["resized_sha256"] == want
 
-    def test_real_decode_raises(self, spark):
+    def test_real_decode_rejects_non_bmp(self, spark):
+        """synth_media_table payloads are opaque hash bytes — not a BMP
+        container — so real decode must refuse them, naming the codec
+        library a deployment would add (tests/test_codecs.py covers
+        the succeeding real path over actual BMP payloads)."""
         from fences_spark.operators.multimodal import resize_images, synth_media_table
 
         media = synth_media_table(spark, 6)
-        with pytest.raises(Exception, match="image decode unavailable"):
+        with pytest.raises(Exception, match="PIL|Pillow"):
             resize_images(media, decode="real").collect()
 
 
@@ -1311,3 +1318,26 @@ def test_round6_huge_magnitudes_pass_through(spark):
     ).fetchall())
     for i, v in enumerate(vals):
         assert got[i] == duck[i] == v, (i, v, got[i], duck[i])
+
+
+def test_lsh_matrix_form_bit_identical(spark):
+    """lsh_all_buckets_sql (one nested-literal HOF expression) must
+    produce EXACTLY the per-table lsh_bucket_sql buckets — the DuckDB
+    near-dup oracle re-derives buckets from the per-table form, so any
+    drift here silently breaks the hash gate."""
+    from pyspark.sql import functions as F
+    from fences_spark.operators.similarity import lsh_all_buckets_sql, lsh_bucket_sql
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim, planes, tables, seed = 64, 5, 6, "neardup"
+    vec = "CAST(embedding AS ARRAY<DOUBLE>)"
+    per_table = F.expr(
+        "array(" + ",".join(
+            lsh_bucket_sql(vec, dim, planes, f"{seed}:{t}") for t in range(tables)
+        ) + ")"
+    )
+    matrix = F.expr(lsh_all_buckets_sql(vec, dim, planes, tables, seed))
+    diff = emb.select(
+        (per_table == matrix).alias("same")
+    ).filter(~F.col("same")).count()
+    assert diff == 0
