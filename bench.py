@@ -107,17 +107,23 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        # min of two timed executions absorbs residual host
-        # scheduling jitter on this shared box.
-        best, n = float("inf"), 0
-        for _ in range(2):
+        # min over repeats absorbs host scheduling jitter on this
+        # shared box; sub-second plans get extra repeats because their
+        # wall is jitter-dominated (observed up to 3x run-to-run on
+        # unchanged plans at <0.5s).
+        best, n, reps = float("inf"), 0, 2
+        for rep in range(5):
+            if rep >= reps:
+                break
             t0 = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()
             best = min(best, time.time() - t0)
+            if best < 0.6:
+                reps = 4
         timings[name] = round(best, 3)
         total += best
-        print(f"# {name}: {n} rows in {best:.2f}s (min of 2)", file=sys.stderr)
+        print(f"# {name}: {n} rows in {best:.2f}s (min of {reps})", file=sys.stderr)
 
     # skew-stress block (north rule: explicit skew handling) — the
     # same skew-sensitive jobs on a uniform vs a pathologically skewed

@@ -5,32 +5,50 @@ similarity/text suites for training-data pipelines."""
 from pyspark.sql import Column, functions as F
 
 _SCALE6 = 1_000_000
-# floor(x·10⁶ + 0.5) returns LONG, which overflows (ANSI runtime
-# error) once |x|·10⁶ nears 2⁶³; above this bound a double's ulp is
-# already ≫ 10⁻⁶, so there is no 6-dp fraction to round — pass the
-# value through unchanged (DuckDB's round is likewise an identity
-# there).  9e12 leaves two decades of headroom below 2⁶³/10⁶.
-_ROUND6_MAX = 9.0e12
 
 
 def round6(c: Column) -> Column:
     """Round to 6 dp with semantics BIT-IDENTICAL to DuckDB's
     ``round(x, 6)`` (std::round(x·10⁶)/10⁶ — half away from zero on
-    the SCALED DOUBLE): ``±floor(|x|·10⁶ + 0.5)/10⁶``.
+    the SCALED DOUBLE).
 
     Spark's own ``F.round`` converts the binary double to exact
     decimal and applies HALF_UP on the TRUE value, so the two engines
     disagree whenever x·10⁶ lands on (or crosses) a half-integer
     during the scaling multiply — observed on composed quality scores
     (6-dp-rounded inputs × 1.25 systematically produce 7th-digit
-    halves: 0.8762625 → Spark 0.876262, DuckDB 0.876263).  Every
-    value-compared 6-dp column therefore rounds through this helper;
-    equivalence to DuckDB is property-tested over random doubles in
-    tests/test_training_ops.py."""
+    halves: 0.8762625 → Spark 0.876262, DuckDB 0.876263).
+
+    Construction notes, each load-bearing:
+
+    - The input is BOUND ONCE via a 1-element ``transform`` lambda:
+      ``round6`` wraps heavy expressions (regex-count quality scores),
+      and every syntactic reference to ``c`` in a plain when/otherwise
+      tree re-evaluates it — a previous 5-reference version cost +50%
+      wall on the quality queries.  A lambda variable is a slot read.
+    - ``std::round`` is emulated from the EXACT fraction
+      (``v % 1.0``, IEEE-exact): the folkloric ``floor(v + 0.5)``
+      mis-rounds once ulp(v) ≥ 1, where the ``+ 0.5`` add itself
+      ties-to-even across an integer (x ≈ -6.6e9 was caught by the
+      wide-magnitude property test).
+    - Everything stays in the DOUBLE domain: ``F.floor`` returns LONG
+      and overflows under ANSI for |v| near 2⁶³ (unbounded sums);
+      ``v - v % 1`` never leaves double and passes huge magnitudes
+      through unchanged, exactly like DuckDB (ulp ≫ 1e-6 there).
+
+    Equivalence to DuckDB is property-tested over random doubles
+    across 18 magnitude decades in tests/test_training_ops.py."""
     if isinstance(c, str):  # a bare column name would hit str.__mul__
         c = F.col(c)
-    pos = F.floor(c * _SCALE6 + F.lit(0.5)) / F.lit(float(_SCALE6))
-    neg = -(F.floor(-c * _SCALE6 + F.lit(0.5)) / F.lit(float(_SCALE6)))
-    return F.when(
-        F.abs(c) >= F.lit(_ROUND6_MAX), c
-    ).otherwise(F.when(c >= 0, pos).otherwise(neg))
+
+    def inner(x: Column) -> Column:
+        v = x * _SCALE6
+        m = v % F.lit(1.0)  # remainder sign follows the dividend
+        away = (
+            F.when(m >= 0.5, F.lit(1.0))
+            .when(m <= -0.5, F.lit(-1.0))
+            .otherwise(F.lit(0.0))
+        )
+        return (v - m + away) / F.lit(float(_SCALE6))
+
+    return F.element_at(F.transform(F.array(c.cast("double")), inner), 1)

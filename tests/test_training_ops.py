@@ -1309,15 +1309,22 @@ def test_round6_huge_magnitudes_pass_through(spark):
 
     from fences_spark.operators import round6
 
+    import random as _r
+
+    rng = _r.Random(11)
+    # every magnitude decade the double-domain floor must cross:
+    # fractional (<2^52 scaled), the band where the scaled value is
+    # integral but a LONG floor still fit (1e9..9e12), and beyond the
+    # old LONG-overflow bound
     vals = [9.3e12, -9.3e12, 1.5e18, -1.5e18, 4.56e15, 8.999999e12]
+    vals += [rng.uniform(-1, 1) * 10 ** rng.uniform(0, 17) for _ in range(2000)]
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
     got = {r["i"]: r["y"] for r in df.select("i", round6(F.col("x")).alias("y")).collect()}
-    duck = dict(duckdb.sql(
-        "SELECT i, round(x, 6) FROM (SELECT UNNEST(range(6)) i, UNNEST("
-        + str(vals) + "::DOUBLE[]) x)"
-    ).fetchall())
-    for i, v in enumerate(vals):
-        assert got[i] == duck[i] == v, (i, v, got[i], duck[i])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(i BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO v VALUES (?, ?)", list(enumerate(vals)))
+    for i, d in con.sql("SELECT i, round(x, 6) FROM v").fetchall():
+        assert got[i] == d, (i, vals[i], got[i], d)
 
 
 def test_lsh_matrix_form_bit_identical(spark):
