@@ -71,6 +71,8 @@ HEADLINE = [
     "multimodal_resize",
     "generate_confusion_fixtures",
     "validate_files_200k",
+    "files_verdicts_buckets",
+    "files_violation_rows",
     "decontaminate_docs",
     "redact_docs",
     "blocklist_docs",

@@ -1858,6 +1858,113 @@ def q_validate_files_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FILES_ORACLE_DERIVE = """
+  SELECT doc_id AS file_id,
+         CASE WHEN doc_id % 41 = 0 THEN 'bad org ' || doc_id::VARCHAR
+              ELSE 'org' || (doc_id % 97)::VARCHAR || '/repo' || (doc_id % 13)::VARCHAR
+         END AS repo,
+         CASE WHEN doc_id % 43 = 0 THEN ''
+              ELSE 'src/f' || doc_id::VARCHAR || '.txt' END AS path,
+         CASE WHEN doc_id % 47 = 0 THEN upper(substr(sha256(doc_id::VARCHAR), 1, 40))
+              ELSE substr(sha256(doc_id::VARCHAR), 1, 40) END AS commit,
+         CASE WHEN doc_id % 53 = 0 THEN 'cobol'
+              ELSE (['python','java','c','go','rust','js','other'])[(doc_id % 7)::INT + 1]
+         END AS lang,
+         CASE WHEN doc_id % 59 = 0 THEN '' ELSE text END AS content
+  FROM documents
+"""
+
+_FILES_ORACLE_CHECKS = """
+  SELECT file_id, content,
+         coalesce(regexp_matches(repo, '^[-\\w.]+/[-\\w.]+$'), FALSE) AS repo_format,
+         coalesce(length(path) >= 1 AND regexp_matches(path, '^[-\\w./]+$'), FALSE) AS path_nonempty,
+         coalesce(regexp_matches(commit, '^[0-9a-f]{40}$'), FALSE) AS commit_sha,
+         coalesce(lang IN ('python','java','c','go','rust','js','other'), FALSE) AS lang_enum,
+         coalesce(length(content) >= 1, FALSE) AS content_present
+  FROM files
+"""
+
+
+def q_files_verdicts_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NORTH-RULE flagship, value-hash gated end-to-end: the
+    5-rule column binding over the (repo, path, commit, lang, content)
+    files shape (BASELINE.json input_hint), per-BUCKET pass/fail
+    verdicts — the runner's partition grain (run/runner.py), here on a
+    deterministic bucket key so the oracle can reproduce it.  Input is
+    ``files_from_documents`` (pure row functions of the documents
+    parquet with planted defects on co-prime moduli), so unlike the
+    synthesized ``validate_files_200k`` this entry's COUNTS are
+    hash-checked against DuckDB, not just row counts."""
+    from fences_spark.flagship import files_from_documents, files_ruleset
+
+    files = files_from_documents(_t(spark, sf_dir, "documents"))
+    res = files_ruleset().apply(files)
+    return (
+        res.df.groupBy(F.pmod(F.col("file_id"), 16).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((~F.col("row_valid")).cast("long")).alias("rows_invalid"),
+            *[
+                F.sum((~F.col(rid)).cast("long")).alias(f"fail_{rid}")
+                for rid in res.rule_ids
+            ],
+        )
+    )
+
+
+SQL_FILES_VERDICTS_BUCKETS = f"""
+WITH files AS ({_FILES_ORACLE_DERIVE}),
+v AS ({_FILES_ORACLE_CHECKS})
+SELECT (file_id % 16)::INT AS bucket,
+       COUNT(*)::BIGINT AS rows,
+       SUM(CASE WHEN repo_format AND path_nonempty AND commit_sha
+                 AND lang_enum AND content_present THEN 0 ELSE 1 END)::BIGINT AS rows_invalid,
+       SUM(CASE WHEN repo_format THEN 0 ELSE 1 END)::BIGINT AS fail_repo_format,
+       SUM(CASE WHEN path_nonempty THEN 0 ELSE 1 END)::BIGINT AS fail_path_nonempty,
+       SUM(CASE WHEN commit_sha THEN 0 ELSE 1 END)::BIGINT AS fail_commit_sha,
+       SUM(CASE WHEN lang_enum THEN 0 ELSE 1 END)::BIGINT AS fail_lang_enum,
+       SUM(CASE WHEN content_present THEN 0 ELSE 1 END)::BIGINT AS fail_content_present
+FROM v GROUP BY 1
+"""
+
+
+def q_files_violation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT violation rows with the per-row content sha256 invariant
+    (BASELINE.json: "matching the reference's per-partition pass/fail
+    and violation rows", "per-row invariant: content sha256
+    equality"): one row per (file, failed rule), digest computed
+    JVM-side with the built-in sha2 — hash-gated against DuckDB's
+    sha256 over the identically-derived table."""
+    from fences_spark.flagship import files_from_documents, files_ruleset
+
+    files = files_from_documents(_t(spark, sf_dir, "documents"))
+    res = files_ruleset().apply(files)
+    return (
+        res.violations("file_id", "content")
+        .select(
+            "file_id",
+            "rule_id",
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+        )
+    )
+
+
+SQL_FILES_VIOLATION_ROWS = f"""
+WITH files AS ({_FILES_ORACLE_DERIVE}),
+v AS ({_FILES_ORACLE_CHECKS})
+SELECT file_id, 'repo_format' AS rule_id, sha256(content) AS content_sha256
+  FROM v WHERE NOT repo_format
+UNION ALL
+SELECT file_id, 'path_nonempty', sha256(content) FROM v WHERE NOT path_nonempty
+UNION ALL
+SELECT file_id, 'commit_sha', sha256(content) FROM v WHERE NOT commit_sha
+UNION ALL
+SELECT file_id, 'lang_enum', sha256(content) FROM v WHERE NOT lang_enum
+UNION ALL
+SELECT file_id, 'content_present', sha256(content) FROM v WHERE NOT content_present
+"""
+
+
 def q_generate_confusion_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline workflow distributed: fences-style
     boundary-sample GENERATION over a table of schemas (one schema per
@@ -3079,6 +3186,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_docs": q_quality_docs,
     "langid_docs": q_langid_docs,
     "validate_files_200k": q_validate_files_200k,
+    "files_verdicts_buckets": q_files_verdicts_buckets,
+    "files_violation_rows": q_files_violation_rows,
     "generate_confusion_fixtures": q_generate_confusion_fixtures,
     "generate_cover_fixtures": q_generate_cover_fixtures,
     "multimodal_resize": q_multimodal_resize,
@@ -3165,6 +3274,8 @@ ORACLE_SQL: dict[str, str] = {
     "top10_orders": SQL_TOP10_ORDERS,
     "quality_docs": SQL_QUALITY_DOCS,
     "langid_docs": SQL_LANGID_DOCS,
+    "files_verdicts_buckets": SQL_FILES_VERDICTS_BUCKETS,
+    "files_violation_rows": SQL_FILES_VIOLATION_ROWS,
     # validate_files_200k: rows-only (input is synthesized, not an sf table)
     # multimodal_real_decode: rows-only (DuckDB cannot parse BMP/WAV payloads;
     #   value correctness is pinned by tests/test_codecs.py local re-decode)

@@ -38,6 +38,51 @@ def validate_files(files: DataFrame) -> ValidationResult:
     return res
 
 
+def files_from_documents(docs: DataFrame) -> DataFrame:
+    """Project the driver's ``documents`` parquet into the north-rule
+    files shape (repo, path, commit, lang, content) with planted
+    defects — every column a PURE function of ``doc_id``/``text``, so
+    the DuckDB oracle re-derives the byte-identical table and the
+    flagship verdict/violation pipeline becomes value-hash gated
+    (``files_table`` synthesizes in Python and is rows-only).
+
+    Planted defects (co-prime moduli so they overlap rarely but do
+    overlap — doc_id 0 breaks several rules at once, pinning the
+    multi-violation explode):
+      doc_id %41==0 → repo gains a space   (repo_format)
+      doc_id %43==0 → path empty           (path_nonempty)
+      doc_id %47==0 → commit uppercased    (commit_sha)
+      doc_id %53==0 → lang 'cobol'         (lang_enum)
+      doc_id %59==0 → content empty        (content_present)
+    """
+    i = F.col("doc_id")
+    s = i.cast("string")
+    repo = F.when(
+        F.pmod(i, 41) == 0, F.concat(F.lit("bad org "), s)
+    ).otherwise(
+        F.concat(F.lit("org"), F.pmod(i, 97).cast("string"),
+                 F.lit("/repo"), F.pmod(i, 13).cast("string"))
+    )
+    path = F.when(F.pmod(i, 43) == 0, F.lit("")).otherwise(
+        F.concat(F.lit("src/f"), s, F.lit(".txt"))
+    )
+    sha40 = F.substring(F.sha2(s, 256), 1, 40)
+    commit = F.when(F.pmod(i, 47) == 0, F.upper(sha40)).otherwise(sha40)
+    lang = F.when(F.pmod(i, 53) == 0, F.lit("cobol")).otherwise(
+        F.element_at(F.array(*[F.lit(x) for x in LANGS]),
+                     (F.pmod(i, len(LANGS)) + 1).cast("int"))
+    )
+    content = F.when(F.pmod(i, 59) == 0, F.lit("")).otherwise(F.col("text"))
+    return docs.select(
+        i.alias("file_id"),
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # smoke flagship over driver testdata (documents + events), used by
 # __spark_entry__.entry — validates real tables shipped with the
