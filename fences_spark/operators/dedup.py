@@ -35,9 +35,22 @@ def ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
     arrives as ONE task, serializing every downstream md5 on one core
     — observed 30s vs 2s at sf0.1).  At 10^12-doc scale the scan
     already has >= defaultParallelism partitions and this is a no-op,
-    so the big-data path pays zero extra shuffle."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    so the big-data path pays zero extra shuffle.
+
+    The partition probe (``df.rdd.getNumPartitions()``) forces a
+    plan→RDD conversion per call — cheap but not free, and pointless
+    on a production cluster where scans are always wide.  The session
+    conf ``spark.fences_spark.ensureParallelism`` gates it:
+    ``auto`` (default) probes; ``off`` trusts the scan (the 10^12
+    setting — zero probe, zero shuffle); ``force`` always
+    repartitions (tiny replay inputs, no probe either)."""
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.fences_spark.ensureParallelism", "auto")
+    if mode == "off":
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if mode == "force":
+        return df.repartition(target, F.col(key))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, F.col(key))
     return df

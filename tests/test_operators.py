@@ -282,3 +282,39 @@ def test_robust_outliers_semantics(spark):
     # approx mode runs and returns the same shape
     a = robust_outliers(df, "v", k=3.0, exact=False).first()
     assert a["n_rows"] == 10
+
+
+class TestEnsureParallelismConf:
+    """spark.fences_spark.ensureParallelism gates the plan->RDD
+    partition probe (the 10^12 setting is 'off': wide scans need no
+    probe and no shuffle)."""
+
+    def test_off_is_identity(self, spark):
+        from fences_spark.operators.dedup import ensure_parallelism
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string").coalesce(1)
+        spark.conf.set("spark.fences_spark.ensureParallelism", "off")
+        try:
+            assert ensure_parallelism(df, "doc_id") is df
+        finally:
+            spark.conf.unset("spark.fences_spark.ensureParallelism")
+
+    def test_force_repartitions_without_probe(self, spark):
+        from fences_spark.operators.dedup import ensure_parallelism
+
+        df = spark.createDataFrame([(i, "x") for i in range(64)],
+                                   "doc_id long, text string").coalesce(1)
+        spark.conf.set("spark.fences_spark.ensureParallelism", "force")
+        try:
+            out = ensure_parallelism(df, "doc_id")
+            assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+        finally:
+            spark.conf.unset("spark.fences_spark.ensureParallelism")
+
+    def test_auto_widens_narrow_input(self, spark):
+        from fences_spark.operators.dedup import ensure_parallelism
+
+        df = spark.createDataFrame([(i, "x") for i in range(64)],
+                                   "doc_id long, text string").coalesce(1)
+        out = ensure_parallelism(df, "doc_id")
+        assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
