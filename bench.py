@@ -73,6 +73,7 @@ HEADLINE = [
     "validate_files_200k",
     "files_verdicts_buckets",
     "files_violation_rows",
+    "stream_files_verdicts",
     "decontaminate_docs",
     "redact_docs",
     "blocklist_docs",

@@ -1965,6 +1965,61 @@ SELECT file_id, 'content_present', sha256(content) FROM v WHERE NOT content_pres
 """
 
 
+def q_stream_files_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NORTH-RULE flagship through the STREAMING engine: the
+    derived files table replays through ``start_validation_stream``
+    (readStream → narrow verdict projection → foreachBatch sink that
+    appends annotated rows AND per-(bucket, rule) verdict counts under
+    a WAL checkpoint — streaming/validate.py), then the verdict sink
+    is read back as the result.  One availableNow drain = one epoch;
+    buckets are file_id % 8 (pre-bucketed — xxhash64 would not be
+    oracle-reproducible), so the DuckDB oracle re-derives the exact
+    stacked counts and the driver hash-gates the streaming sink
+    contract, not just row counts."""
+    import os
+    import tempfile
+
+    from fences_spark.flagship import files_from_documents, files_ruleset
+    from fences_spark.streaming.validate import StreamConfig, start_validation_stream
+
+    files = files_from_documents(_t(spark, sf_dir, "documents")).withColumn(
+        "bucket", F.pmod(F.col("file_id"), 8).cast("int")
+    )
+    work = tempfile.mkdtemp(prefix="fences_stream_files_")
+    src = os.path.join(work, "src")
+    files.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    cfg = StreamConfig(output_dir=work)
+    q = start_validation_stream(stream, files_ruleset(), cfg)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(cfg.verdicts_path)
+        .select("bucket", "rows", "rows_invalid", "rule_id", "n_pass", "n_fail")
+    )
+
+
+SQL_STREAM_FILES_VERDICTS = f"""
+WITH files AS ({_FILES_ORACLE_DERIVE}),
+v AS ({_FILES_ORACLE_CHECKS}),
+b AS (
+  SELECT (file_id % 8)::INT AS bucket,
+         COUNT(*)::BIGINT AS rows,
+         SUM(CASE WHEN repo_format AND path_nonempty AND commit_sha
+                   AND lang_enum AND content_present THEN 0 ELSE 1 END)::BIGINT AS rows_invalid,
+         SUM(repo_format::INT)::BIGINT AS p1, SUM(path_nonempty::INT)::BIGINT AS p2,
+         SUM(commit_sha::INT)::BIGINT AS p3, SUM(lang_enum::INT)::BIGINT AS p4,
+         SUM(content_present::INT)::BIGINT AS p5
+  FROM v GROUP BY 1
+)
+SELECT bucket, rows, rows_invalid, 'repo_format' AS rule_id,
+       p1 AS n_pass, rows - p1 AS n_fail FROM b
+UNION ALL SELECT bucket, rows, rows_invalid, 'path_nonempty', p2, rows - p2 FROM b
+UNION ALL SELECT bucket, rows, rows_invalid, 'commit_sha', p3, rows - p3 FROM b
+UNION ALL SELECT bucket, rows, rows_invalid, 'lang_enum', p4, rows - p4 FROM b
+UNION ALL SELECT bucket, rows, rows_invalid, 'content_present', p5, rows - p5 FROM b
+"""
+
+
 def q_generate_confusion_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline workflow distributed: fences-style
     boundary-sample GENERATION over a table of schemas (one schema per
@@ -3188,6 +3243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_files_200k": q_validate_files_200k,
     "files_verdicts_buckets": q_files_verdicts_buckets,
     "files_violation_rows": q_files_violation_rows,
+    "stream_files_verdicts": q_stream_files_verdicts,
     "generate_confusion_fixtures": q_generate_confusion_fixtures,
     "generate_cover_fixtures": q_generate_cover_fixtures,
     "multimodal_resize": q_multimodal_resize,
@@ -3276,6 +3332,7 @@ ORACLE_SQL: dict[str, str] = {
     "langid_docs": SQL_LANGID_DOCS,
     "files_verdicts_buckets": SQL_FILES_VERDICTS_BUCKETS,
     "files_violation_rows": SQL_FILES_VIOLATION_ROWS,
+    "stream_files_verdicts": SQL_STREAM_FILES_VERDICTS,
     # validate_files_200k: rows-only (input is synthesized, not an sf table)
     # multimodal_real_decode: rows-only (DuckDB cannot parse BMP/WAV payloads;
     #   value correctness is pinned by tests/test_codecs.py local re-decode)

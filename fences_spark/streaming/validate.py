@@ -56,12 +56,17 @@ def annotate_stream(stream_df: DataFrame, ruleset: RuleSet, cfg: StreamConfig) -
     columns + per-rule booleans + row_valid + violations + bucket +
     content sha256 invariant."""
     res = ruleset.apply(stream_df)
-    out = res.df.withColumn(
-        "bucket",
-        F.pmod(
-            F.xxhash64(*[F.col(k) for k in cfg.bucket_keys]), F.lit(cfg.n_buckets)
-        ).cast("int"),
-    )
+    if "bucket" in stream_df.columns:
+        # caller pre-bucketed (e.g. a cross-engine-reproducible key);
+        # keep it — xxhash64 is Spark-only and an oracle can't re-derive it
+        out = res.df
+    else:
+        out = res.df.withColumn(
+            "bucket",
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in cfg.bucket_keys]), F.lit(cfg.n_buckets)
+            ).cast("int"),
+        )
     if "content" in stream_df.columns:
         out = out.withColumn("content_sha256", F.sha2(F.col("content"), 256))
     return out
