@@ -27,6 +27,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _stream_workdir(kind: str, sf_dir: str) -> str:
+    """Deterministic scratch dir for the streaming replay entries,
+    WIPED on every call: repeated bench/verify invocations would
+    otherwise accumulate an input copy + sink + WAL checkpoint per
+    call in /tmp (and the checkpoint must not survive anyway — a
+    reused WAL would make the next replay a no-op drain)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(tempfile.gettempdir(), f"fences_stream_{kind}_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    return work
+
+
 # ---------------------------------------------------------------------------
 # validation queries (the engine's own operators)
 # ---------------------------------------------------------------------------
@@ -903,7 +921,6 @@ def q_stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP) and the emitted bounds are cast back to NTZ so the
     result is timezone-independent."""
     import os
-    import tempfile
 
     from fences_spark.streaming.curate import CurateStreamConfig, start_session_stream
 
@@ -911,7 +928,10 @@ def q_stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
-    work = tempfile.mkdtemp(prefix="fences_stream_sess_")
+    # deterministic per-input workdir, wiped per invocation: bench and
+    # verify re-run entries repeatedly, and a mkdtemp per call would
+    # accumulate a full input copy + sink + WAL checkpoint each time
+    work = _stream_workdir("sess", sf_dir)
     src = os.path.join(work, "src")
     ev.coalesce(1).write.parquet(src)
     cfg = CurateStreamConfig(output_dir=work)
@@ -1977,7 +1997,6 @@ def q_stream_files_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacked counts and the driver hash-gates the streaming sink
     contract, not just row counts."""
     import os
-    import tempfile
 
     from fences_spark.flagship import files_from_documents, files_ruleset
     from fences_spark.streaming.validate import StreamConfig, start_validation_stream
@@ -1985,7 +2004,7 @@ def q_stream_files_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = files_from_documents(_t(spark, sf_dir, "documents")).withColumn(
         "bucket", F.pmod(F.col("file_id"), 8).cast("int")
     )
-    work = tempfile.mkdtemp(prefix="fences_stream_files_")
+    work = _stream_workdir("files", sf_dir)
     src = os.path.join(work, "src")
     files.coalesce(1).write.parquet(src)
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)

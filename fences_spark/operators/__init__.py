@@ -49,6 +49,9 @@ def round6(c: Column) -> Column:
             .when(m <= -0.5, F.lit(-1.0))
             .otherwise(F.lit(0.0))
         )
-        return (v - m + away) / F.lit(float(_SCALE6))
+        # ±inf: inf % 1.0 is NaN, which would turn the result into NaN
+        # while DuckDB's round passes infinity through — so does NaN
+        # input (NaN/1e6 = NaN, correct either way)
+        return F.when(F.isnan(m), v).otherwise(v - m + away) / F.lit(float(_SCALE6))
 
     return F.element_at(F.transform(F.array(c.cast("double")), inner), 1)

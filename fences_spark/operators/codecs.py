@@ -158,6 +158,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(
             f"only 16-bit PCM WAV is decodable here (got format={audio_fmt}, bits={bits})"
         )
+    if ch < 1:
+        raise ValueError(f"WAV fmt declares {ch} channels")
     n = len(pcm) // (2 * ch)
     arr = np.frombuffer(pcm, dtype="<i2", count=n * ch).reshape(n, ch)
     return arr.astype(np.int16), int(rate)

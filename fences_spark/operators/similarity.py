@@ -243,12 +243,6 @@ def embedding_near_dup_pairs(
     ``use_lsh_prefilter=False`` is the exact O(N²/2) self-join —
     correct at any threshold, the recall baseline, and fine when one
     side broadcasts — but a cartesian at scale: never the default."""
-    a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
-    ).withColumn("na", norm(F.col("va")))
-    b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
-    ).withColumn("nb", norm(F.col("vb")))
     if use_lsh_prefilter:
         if dim is None:
             probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -297,6 +291,12 @@ def embedding_near_dup_pairs(
             .distinct()
             .filter(F.col("cos") >= threshold)
         )
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    ).withColumn("na", norm(F.col("va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    ).withColumn("nb", norm(F.col("vb")))
     cand = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     return (
         cand.select(

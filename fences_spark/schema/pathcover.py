@@ -192,7 +192,7 @@ def _build(schema: SchemaType, ev: Evaluator, depth: int, memo: dict[str, GNode]
         for key in list(props)[:12]:
             sub = props[key]
             keys.append(key)
-            present = _build(sub, ev, depth + 1, memo)
+            present = _ref_build(sub, ev, depth + 1, memo)
             absent = GLeaf(ABSENT, key not in required)
             children.append(GAlt([present, absent]))
         for key in sorted(required - set(props))[:4]:
@@ -204,7 +204,7 @@ def _build(schema: SchemaType, ev: Evaluator, depth: int, memo: dict[str, GNode]
             children.append(GAlt([GLeaf(ABSENT, True), GLeaf("zzz", False)]))
         elif isinstance(ap, dict):
             keys.append("x~extra")
-            children.append(GAlt([GLeaf(ABSENT, True), _build(ap, ev, depth + 1, memo)]))
+            children.append(GAlt([GLeaf(ABSENT, True), _ref_build(ap, ev, depth + 1, memo)]))
         alts.append(GSeq(children, "object", keys))
 
     # compositional array: minItems-many mandatory item slots
@@ -220,7 +220,7 @@ def _build(schema: SchemaType, ev: Evaluator, depth: int, memo: dict[str, GNode]
     for combo in ("anyOf", "oneOf"):
         for sub in s.get(combo, []):
             if isinstance(sub, (dict, bool)):
-                alts.append(_build(sub, ev, depth + 1, memo))
+                alts.append(_ref_build(sub, ev, depth + 1, memo))
 
     # the per-keyword boundary fences (whole-instance candidates)
     alts.extend(_leaf_pool(s, ev, depth))

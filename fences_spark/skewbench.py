@@ -204,48 +204,52 @@ def run_skew_stress(
             saved[k] = None
         spark.conf.set(k, v)
 
-    base = tempfile.mkdtemp(prefix="fences_skew_")
-    paths, dim_paths = {}, {}
-    for label, gen in (("uniform", uniform_files), ("skewed", skewed_files)):
-        p = os.path.join(base, label)
-        gen(spark, n).write.mode("overwrite").parquet(p)
-        paths[label] = p
-        dp = os.path.join(base, label + "_dim")
-        (
-            spark.read.parquet(p)
-            .groupBy("repo")
-            .agg(F.count(F.lit(1)).alias("repo_rows"))
-            .write.mode("overwrite")
-            .parquet(dp)
-        )
-        dim_paths[label] = dp
+    try:
+        base = tempfile.mkdtemp(prefix="fences_skew_")
+        paths, dim_paths = {}, {}
+        for label, gen in (("uniform", uniform_files), ("skewed", skewed_files)):
+            p = os.path.join(base, label)
+            gen(spark, n).write.mode("overwrite").parquet(p)
+            paths[label] = p
+            dp = os.path.join(base, label + "_dim")
+            (
+                spark.read.parquet(p)
+                .groupBy("repo")
+                .agg(F.count(F.lit(1)).alias("repo_rows"))
+                .write.mode("overwrite")
+                .parquet(dp)
+            )
+            dim_paths[label] = dp
 
-    ops: dict[str, dict] = {}
-    for name, job in JOBS:
-        walls = {}
-        for label in ("uniform", "skewed"):
-            df = spark.read.parquet(paths[label])
-            dim = spark.read.parquet(dim_paths[label])
-            job(df, dim)  # warm-up: JIT/codegen + page cache
-            best = float("inf")
-            for _ in range(repeats):
-                df = spark.read.parquet(paths[label])  # fresh lineage
+        ops: dict[str, dict] = {}
+        for name, job in JOBS:
+            walls = {}
+            for label in ("uniform", "skewed"):
+                df = spark.read.parquet(paths[label])
                 dim = spark.read.parquet(dim_paths[label])
-                t0 = time.time()
-                job(df, dim)
-                best = min(best, time.time() - t0)
-            walls[label] = round(best, 3)
-        ops[name] = {
-            "uniform": walls["uniform"],
-            "skewed": walls["skewed"],
-            "ratio": round(walls["skewed"] / max(walls["uniform"], 1e-9), 3),
-        }
-    fired = skew_split_fired(
-        spark, spark.read.parquet(paths["skewed"]), spark.read.parquet(dim_paths["skewed"])
-    )
-    for k, v in saved.items():
-        if v is None:
-            spark.conf.unset(k)
-        else:
-            spark.conf.set(k, v)
+                job(df, dim)  # warm-up: JIT/codegen + page cache
+                best = float("inf")
+                for _ in range(repeats):
+                    df = spark.read.parquet(paths[label])  # fresh lineage
+                    dim = spark.read.parquet(dim_paths[label])
+                    t0 = time.time()
+                    job(df, dim)
+                    best = min(best, time.time() - t0)
+                walls[label] = round(best, 3)
+            ops[name] = {
+                "uniform": walls["uniform"],
+                "skewed": walls["skewed"],
+                "ratio": round(walls["skewed"] / max(walls["uniform"], 1e-9), 3),
+            }
+        fired = skew_split_fired(
+            spark, spark.read.parquet(paths["skewed"]), spark.read.parquet(dim_paths["skewed"])
+        )
+    finally:
+        # restore even when a timed job throws — leaking the MB-scale
+        # AQE thresholds would poison every later query in the session
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return SkewResult(rows=n, ops=ops, skew_split_fired=fired)

@@ -265,3 +265,13 @@ class TestRealDecodeOperators:
         )
         want = hashlib.sha256(payload + b"#" + str(row["frame_idx"]).encode()).hexdigest()
         assert row["frame_sha256"] == want
+
+
+def test_wav_zero_channels_is_value_error():
+    import struct
+
+    blob = bytearray(codecs.encode_wav(np.zeros((4, 1), dtype=np.int16), 8000))
+    # patch nChannels to 0 in the fmt chunk (offset 12+8+2)
+    struct.pack_into("<H", blob, 22, 0)
+    with pytest.raises(ValueError, match="channels"):
+        codecs.decode_wav(bytes(blob))

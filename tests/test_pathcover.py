@@ -177,3 +177,49 @@ def test_aas_cover_agrees_with_jsonschema(aas_schema):
     assert nv >= 1 and len(samples) - nv >= 5
     for v, ours in samples:
         assert val.is_valid(v) == ours, json.dumps(v)[:200]
+
+
+def test_property_refs_are_memoized_and_structured():
+    """$ref reached through a PROPERTY slot (not just an array item)
+    must resolve through the memoized builder: both call sites share
+    one subgraph (DAG, like the reference's Reference.resolve) and the
+    resolved target keeps its compositional object structure instead
+    of collapsing to a whole-instance leaf pool."""
+    from fences_spark.schema.pathcover import GAlt, GLeaf, GSeq, build_graph
+
+    schema = {
+        "$defs": {"big": {
+            "type": "object",
+            "required": ["a"],
+            "properties": {"a": {"type": "integer"}, "b": {"type": "string"}},
+        }},
+        "type": "object",
+        "properties": {"x": {"$ref": "#/$defs/big"}, "y": {"$ref": "#/$defs/big"}},
+    }
+    root = build_graph(schema)
+    # root alternative containing the object composition
+    seq = next(n for n in _walk(root) if isinstance(n, GSeq) and n.kind == "object"
+               and n.keys and set(n.keys) >= {"x", "y"})
+    by_key = dict(zip(seq.keys, seq.children))
+
+    def present_node(slot):
+        assert isinstance(slot, GAlt)
+        return slot.children[0]
+
+    px, py = present_node(by_key["x"]), present_node(by_key["y"])
+    assert px is py  # memoized: one shared subgraph for both call sites
+    # and the shared subgraph is structured (contains an inner object
+    # GSeq over {a, b}), not a flat pool of whole-instance leaves
+    inner = [n for n in _walk(px) if isinstance(n, GSeq) and n.kind == "object"]
+    assert any(set(n.keys or []) >= {"a", "b"} for n in inner)
+
+
+def _walk(root):
+    seen, stack = set(), [root]
+    while stack:
+        n = stack.pop()
+        if id(n) in seen:
+            continue
+        seen.add(id(n))
+        yield n
+        stack.extend(getattr(n, "children", []) or [])

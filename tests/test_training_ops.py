@@ -1348,3 +1348,23 @@ def test_lsh_matrix_form_bit_identical(spark):
         (per_table == matrix).alias("same")
     ).filter(~F.col("same")).count()
     assert diff == 0
+
+
+def test_round6_nonfinite_passthrough(spark):
+    """±inf and NaN must pass through round6 like DuckDB's round —
+    inf % 1.0 is NaN in IEEE, which a naive fraction-based rounding
+    would propagate into NaN for infinite inputs."""
+    import math
+
+    from fences_spark.operators import round6
+
+    vals = [float("inf"), float("-inf"), float("nan")]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    got = {r["i"]: r["y"] for r in df.select("i", round6(F.col("x")).alias("y")).collect()}
+    assert got[0] == math.inf and got[1] == -math.inf and math.isnan(got[2])
+    import duckdb
+
+    duck = duckdb.sql(
+        "SELECT round('inf'::DOUBLE, 6), round('-inf'::DOUBLE, 6), round('nan'::DOUBLE, 6)"
+    ).fetchone()
+    assert duck[0] == math.inf and duck[1] == -math.inf and math.isnan(duck[2])
