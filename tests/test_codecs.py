@@ -275,3 +275,76 @@ def test_wav_zero_channels_is_value_error():
     struct.pack_into("<H", blob, 22, 0)
     with pytest.raises(ValueError, match="channels"):
         codecs.decode_wav(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz (hypothesis): roundtrip laws over the full input
+# domain, not just the handful of shapes above
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+    blob = codecs.encode_bmp(px)
+    # stride law: every row padded to 4 bytes
+    assert (len(blob) - 54) == ((w * 3 + 3) & ~3) * h
+    assert np.array_equal(codecs.decode_bmp(blob), px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    ch=st.integers(1, 4),
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    x = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int64).astype(np.int16)
+    samples, got_rate = codecs.decode_wav(codecs.encode_wav(x, rate))
+    assert got_rate == rate
+    assert np.array_equal(samples, x)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    in_w=st.integers(1, 30), in_h=st.integers(1, 30),
+    out_w=st.integers(1, 30), out_h=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_resize_nearest_properties(in_w, in_h, out_w, out_h, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    px = rng.integers(0, 256, size=(in_h, in_w, 3), dtype=np.int64).astype(np.uint8)
+    out = codecs.resize_nearest(px, out_w, out_h)
+    assert out.shape == (out_h, out_w, 3)
+    # every output pixel exists somewhere in the input row/col it samples
+    assert set(np.unique(out)) <= set(np.unique(px))
+    # identity law
+    assert np.array_equal(codecs.resize_nearest(px, in_w, in_h), px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_frames=st.integers(0, 6),
+    w=st.integers(1, 12), h=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_rawv_roundtrip_property(n_frames, w, h, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    frames = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    blobs = decode_rawv(encode_rawv(frames))
+    assert len(blobs) == n_frames
+    for blob, fr in zip(blobs, frames):
+        assert np.array_equal(codecs.decode_bmp(blob), fr)
