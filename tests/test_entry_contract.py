@@ -57,6 +57,17 @@ def test_every_query_is_oracle_gated_or_documented_rows_only() -> None:
     assert ROWS_ONLY <= qs, f"stale ROWS_ONLY keys: {sorted(ROWS_ONLY - qs)}"
 
 
+def test_bench_headline_keys_exist() -> None:
+    """bench.py silently skips a HEADLINE name missing from QUERIES
+    (`if fn is None: continue`) — a rename would quietly shrink the
+    driver's BENCH suite instead of failing."""
+    import bench
+
+    missing = set(bench.HEADLINE) - set(entrymod.queries())
+    assert not missing, f"bench HEADLINE names not in queries(): {sorted(missing)}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate HEADLINE entries"
+
+
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata not present")
 def test_every_oracle_sql_executes_on_duckdb() -> None:
     """Each oracle must run on DuckDB over the registered views — a
