@@ -39,9 +39,19 @@ def _stream_workdir(kind: str, sf_dir: str) -> str:
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"fences_stream_{kind}_{tag}")
+    # pid in the name: two concurrent bench/verify processes on the
+    # same sf_dir must not wipe each other's live WAL checkpoint
+    # (reruns WITHIN a process still reuse + wipe the same dir).
+    work = os.path.join(
+        tempfile.gettempdir(), f"fences_stream_{kind}_{tag}_{os.getpid()}"
+    )
     shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work)
+    try:
+        os.makedirs(work)
+    except FileExistsError:
+        # a non-directory squatting at the path (shared /tmp) survives
+        # rmtree(ignore_errors=True); fall back to a fresh private dir
+        work = tempfile.mkdtemp(prefix=f"fences_stream_{kind}_{tag}_")
     return work
 
 
@@ -3065,7 +3075,12 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "modality",
         "n_bytes",
         F.array_join(
-            F.transform(F.col("feature"), lambda x: F.format_number(x.cast("double"), 6)),
+            # format_string, NOT format_number: the latter inserts
+            # grouping commas for |x| ≥ 1000 — the array_join separator
+            F.transform(
+                F.col("feature"),
+                lambda x: F.format_string("%.6f", x.cast("double")),
+            ),
             ",",
         ).alias("feature_sig"),
     ).orderBy("media_id")

@@ -49,9 +49,13 @@ def round6(c: Column) -> Column:
             .when(m <= -0.5, F.lit(-1.0))
             .otherwise(F.lit(0.0))
         )
-        # ±inf: inf % 1.0 is NaN, which would turn the result into NaN
-        # while DuckDB's round passes infinity through — so does NaN
-        # input (NaN/1e6 = NaN, correct either way)
-        return F.when(F.isnan(m), v).otherwise(v - m + away) / F.lit(float(_SCALE6))
+        # NaN remainder ⇒ v = x·10⁶ is ±inf or NaN.  That covers not
+        # just ±inf/NaN INPUT but also finite |x| > ~1.8e302 whose
+        # scaling multiply overflows — DuckDB returns x itself there
+        # (ulp(x) ≫ 1e-6, round is the identity), so return the
+        # UNSCALED input, never v/10⁶ (= ±inf).
+        return F.when(F.isnan(m), x).otherwise(
+            (v - m + away) / F.lit(float(_SCALE6))
+        )
 
     return F.element_at(F.transform(F.array(c.cast("double")), inner), 1)

@@ -1317,7 +1317,13 @@ def test_round6_huge_magnitudes_pass_through(spark):
     # integral but a LONG floor still fit (1e9..9e12), and beyond the
     # old LONG-overflow bound
     vals = [9.3e12, -9.3e12, 1.5e18, -1.5e18, 4.56e15, 8.999999e12]
+    # the scaling-multiply OVERFLOW band: finite |x| > ~1.8e302 makes
+    # v = x·10⁶ infinite and v % 1.0 NaN; round6 must return x itself
+    # (DuckDB round(1e303, 6) = 1e303), never ±inf = v/10⁶
+    vals += [1e303, -1e303, 1.7976931348623157e308, -1.7976931348623157e308,
+             1.8e302, -1.8e302, 1.7976e302, 5e307]
     vals += [rng.uniform(-1, 1) * 10 ** rng.uniform(0, 17) for _ in range(2000)]
+    vals += [rng.uniform(-1, 1) * 10 ** rng.uniform(300, 308.25) for _ in range(500)]
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
     got = {r["i"]: r["y"] for r in df.select("i", round6(F.col("x")).alias("y")).collect()}
     con = duckdb.connect()
