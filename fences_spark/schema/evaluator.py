@@ -32,6 +32,7 @@ import math
 import re
 from fractions import Fraction
 from typing import Any, Union
+from urllib.parse import unquote
 
 # shared empty-annotation sentinel: callers only read / union-copy it
 _EMPTY: set = frozenset()  # type: ignore[assignment]
@@ -222,7 +223,10 @@ class Evaluator:
         frag = ref[1:].lstrip("/")
         if frag:
             for raw in frag.split("/"):
-                token = raw.replace("~1", "/").replace("~0", "~")
+                # a $ref is a URI fragment: percent-decode first
+                # (#/$defs/percent%25field → "percent%field"), then the
+                # RFC 6901 ~-unescapes
+                token = unquote(raw).replace("~1", "/").replace("~0", "~")
                 if isinstance(node, list):
                     node = node[int(token)]
                 else:

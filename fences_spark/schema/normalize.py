@@ -38,6 +38,7 @@ from __future__ import annotations
 import hashlib
 import json
 import math
+from fractions import Fraction
 from typing import Any
 
 from fences_spark.schema.evaluator import ANNOTATION_KEYWORDS, SchemaType
@@ -76,6 +77,29 @@ def _float_gcd(a: float, b: float, rtol: float = 1e-05, atol: float = 1e-08) -> 
 
 
 def _float_lcm(a: float, b: float) -> float:
+    # Exact path first: JSON numbers are decimal text, so interpret
+    # each float via its shortest round-trip repr as an exact decimal
+    # fraction and take the true lcm.  The tolerant float path below
+    # mis-merges ill-conditioned pairs — lcm(1, 0.123456789) must be
+    # 123456789 (suite case "float division = inf"), not ~10.00007,
+    # which silently ACCEPTS non-multiples like 1e308 after an
+    # integer+multipleOf type merge.
+    try:
+        fa = Fraction(repr(float(a)))
+        fb = Fraction(repr(float(b)))
+        if fa and fb:
+            g = Fraction(
+                math.gcd(fa.numerator * fb.denominator, fb.numerator * fa.denominator),
+                fa.denominator * fb.denominator,
+            )
+            v = abs(fa * fb / g)
+            fv = float(v)
+            if math.isfinite(fv) and Fraction(fv) == v:
+                return int(fv) if fv.is_integer() else fv
+    except (ValueError, OverflowError, ZeroDivisionError):
+        pass
+    # epsilon-tolerant fallback when the exact lcm is not a
+    # representable double (reference: normalize.py:138-147)
     g = _float_gcd(a, b)
     if g == 0:
         return 0.0
@@ -666,9 +690,74 @@ class Normalizer:
         return s
 
 
+def _relocate_relative_refs(root: SchemaType) -> SchemaType:
+    """Rewrite local refs that point OUTSIDE $defs (#/properties/foo,
+    #/prefixItems/0, #/allOf/1, …) to relocated $defs copies.
+
+    Normalization re-roots the schema body (everything becomes anyOf
+    options), so only ``#`` (whose accept set is preserved by
+    construction) and ``#/$defs/…`` pointers survive restructuring;
+    any other pointer would dangle.  Relocating the target subtree
+    into $defs up front keeps those refs resolvable and is accept-set
+    neutral — the copy equals the pointed-at subtree.
+
+    enum/const values are never descended into: a ``$ref`` key inside
+    a literal is DATA (suite case "naive replacement of $ref with its
+    destination is not correct"), not a reference."""
+    if not isinstance(root, dict):
+        return root
+    from fences_spark.schema.evaluator import Evaluator
+
+    resolver = Evaluator(root)
+    relocated: dict[str, str] = {}
+    new_defs: dict[str, Any] = {}
+    existing = root.get("$defs") if isinstance(root.get("$defs"), dict) else {}
+
+    def def_name(ref: str) -> str:
+        base = "reloc_" + ref[2:].replace("/", "_").replace("~", "_").replace("%", "_")
+        name = base
+        i = 0
+        while name in existing or name in new_defs:
+            i += 1
+            name = f"{base}_{i}"
+        return name
+
+    def walk(node: Any) -> Any:
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k in ("enum", "const"):
+                    out[k] = v
+                elif (
+                    k == "$ref"
+                    and isinstance(v, str)
+                    and v.startswith("#/")
+                    and not v.startswith("#/$defs/")
+                ):
+                    if v not in relocated:
+                        name = def_name(v)
+                        relocated[v] = name  # set BEFORE walking: cycle-safe
+                        new_defs[name] = None
+                        new_defs[name] = walk(resolver._resolve_ref(v))
+                    out[k] = f"#/$defs/{relocated[v]}"
+                else:
+                    out[k] = walk(v)
+            return out
+        if isinstance(node, list):
+            return [walk(x) for x in node]
+        return node
+
+    out_root = walk(root)
+    if new_defs:
+        defs = dict(out_root.get("$defs") or {})
+        defs.update(new_defs)
+        out_root["$defs"] = defs
+    return out_root
+
+
 def normalize(schema: SchemaType) -> dict:
     """Normalize to DNF: {'anyOf': [conjunctive options], '$defs': …}."""
-    return Normalizer(schema).normalize()
+    return Normalizer(_relocate_relative_refs(schema)).normalize()
 
 
 def check_normalized(s: dict) -> list[str]:

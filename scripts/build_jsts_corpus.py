@@ -840,6 +840,31 @@ CORPUS["unevaluatedItems.json"] = [
           ("with unevaluated items", ["foo", "bar"], False)),
 ]
 
+# round-3 full-suite completion: merge the corner-case transcriptions
+# (new files + deepened existing files) from jsts_corpus_ext
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from jsts_corpus_ext import EXTRA  # noqa: E402
+
+for fname, suites in EXTRA.items():
+    out = CORPUS.setdefault(fname, [])
+    by_desc = {s["description"]: s for s in out}
+    for s in suites:
+        prev = by_desc.get(s["description"])
+        if prev is None:
+            out.append(s)
+            by_desc[s["description"]] = s
+        elif prev["schema"] == s["schema"]:
+            # same suite already vendored: union in any new cases
+            have = {t["description"] for t in prev["tests"]}
+            prev["tests"].extend(t for t in s["tests"] if t["description"] not in have)
+        else:
+            # same name, different schema → distinct suite, keep both
+            s = {**s, "description": s["description"] + " (ext)"}
+            out.append(s)
+            by_desc[s["description"]] = s
+
 os.makedirs(OUT, exist_ok=True)
 for fname, suites in CORPUS.items():
     with open(os.path.join(OUT, fname), "w") as f:
