@@ -2,7 +2,14 @@
 each __spark_entry__.queries() entry on Spark and its oracle_sql() on
 DuckDB at sf0.01, compare row count, column-name set, and an
 order-insensitive value comparison (columns sorted by name, rows
-sorted)."""
+sorted).
+
+The sweep itself is importable (``sweep(spark, sf_dir)``) so the
+pytest suite runs the FULL 73-entry value comparison at sf0.001 on
+every run (tests/test_entry_contract.py) — the driver samples ~50 of
+the entries per round, so without the in-suite sweep a rotated-out
+entry could regress unnoticed for a round.
+"""
 
 from __future__ import annotations
 
@@ -12,9 +19,6 @@ import sys
 import duckdb
 
 sys.path.insert(0, "/root/repo")
-
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:]) if len(sys.argv) > 2 else None
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -37,25 +41,28 @@ def canon(rows, cols):
     return sorted(out)
 
 
-def main() -> int:
+def sweep(spark, sf_dir: str, only=None, verbose: bool = True) -> list[str]:
+    """Run every queries() entry and compare against its oracle.
+    Returns the list of per-entry failure descriptions (empty = green).
+    Entries without an oracle get the rows-only treatment (run +
+    count), mirroring the driver."""
     import __spark_entry__ as e
-    from fences_spark.session import get_spark
 
-    spark = get_spark(cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
-    failures = 0
+    failures: list[str] = []
     for name, fn in qs.items():
-        if ONLY and name not in ONLY:
+        if only and name not in only:
             continue
-        sdf = fn(spark, SF_DIR)
+        sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         if name not in oracles:
-            print(f"{name}: rows-only check, {len(srows)} rows")
+            if verbose:
+                print(f"{name}: rows-only check, {len(srows)} rows")
             continue
         dres = con.execute(oracles[name])
         dcols = [d[0] for d in dres.description]
@@ -63,18 +70,33 @@ def main() -> int:
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         ok_vals = canon(srows, scols) == canon(drows, dcols) if ok_cols else False
-        status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
-        if status == "FAIL":
-            failures += 1
-            print(f"{name}: {status} cols={ok_cols} count={ok_count}({len(srows)}/{len(drows)}) vals={ok_vals}")
-            if ok_cols and not ok_vals:
-                a, b = canon(srows, scols), canon(drows, dcols)
-                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                for x, y in diff:
-                    print("   spark:", x)
-                    print("   duck :", y)
-        else:
-            print(f"{name}: OK ({len(srows)} rows)")
+        if ok_cols and ok_count and ok_vals:
+            if verbose:
+                print(f"{name}: OK ({len(srows)} rows)")
+            continue
+        msg = (
+            f"{name}: FAIL cols={ok_cols} "
+            f"count={ok_count}({len(srows)}/{len(drows)}) vals={ok_vals}"
+        )
+        if ok_cols and not ok_vals:
+            a, b = canon(srows, scols), canon(drows, dcols)
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            for x, y in diff:
+                msg += f"\n   spark: {x}\n   duck : {y}"
+        failures.append(msg)
+        if verbose:
+            print(msg)
+    con.close()
+    return failures
+
+
+def main() -> int:
+    from fences_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) if len(sys.argv) > 2 else None
+    spark = get_spark(cores=8, shuffle_partitions=8)
+    failures = sweep(spark, sf_dir, only=only)
     spark.stop()
     return 1 if failures else 0
 

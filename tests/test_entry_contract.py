@@ -91,3 +91,21 @@ def test_every_oracle_sql_executes_on_duckdb() -> None:
         except Exception as exc:  # noqa: BLE001 - collect all failures
             bad.append(f"{name}: {type(exc).__name__}: {exc}")
     assert not bad, "oracle SQL failed on DuckDB:\n" + "\n".join(bad)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata not present")
+def test_full_oracle_sweep_values(spark) -> None:
+    """The FULL Spark-vs-DuckDB value comparison over every oracle-gated
+    entry at sf0.001, every pytest run.  The driver's per-round
+    CORRECTNESS file samples only ~50 of the entries and the sample
+    rotates (r02 silently dropped simhash_docs/embedding_vector_stats),
+    so the in-suite sweep is what guarantees 73/73 — no reliance on
+    driver sampling.  The heavier sf0.01 sweep stays available as
+    `python scripts/check_oracle.py`."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from check_oracle import sweep
+
+    failures = sweep(spark, SF_DIR, verbose=False)
+    assert not failures, f"{len(failures)} entries diverge:\n" + "\n\n".join(failures)
