@@ -2448,6 +2448,101 @@ FROM v GROUP BY variant
 """
 
 
+_ORDER_ITEMS_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="order">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="priority">
+          <xs:simpleType>
+            <xs:restriction base="xs:string">
+              <xs:pattern value="[1-5]-[A-Z ]+"/>
+            </xs:restriction>
+          </xs:simpleType>
+        </xs:element>
+        <xs:element name="item" minOccurs="0" maxOccurs="unbounded">
+          <xs:complexType>
+            <xs:sequence>
+              <xs:element name="price">
+                <xs:simpleType>
+                  <xs:restriction base="xs:double">
+                    <xs:minExclusive value="0"/>
+                  </xs:restriction>
+                </xs:simpleType>
+              </xs:element>
+            </xs:sequence>
+            <xs:attribute name="sku" use="required"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+      <xs:attribute name="id" use="required">
+        <xs:simpleType>
+          <xs:restriction base="xs:positiveInteger"/>
+        </xs:simpleType>
+      </xs:attribute>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+
+def q_xsd_violation_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-element XSD violation paths (NormalizedXPath diagnostics —
+    reference parity: fences/xml_schema/xpath.py:12-36): orders +
+    their lineitems are serialized to nested XML with three defect
+    families planted deterministically (negated item price every 3rd
+    linenumber, corrupt priority for orderkey%5, missing required id
+    attribute for orderkey%7), validated on the JVM builtin tier, and
+    exploded to one row per (order, violation path).
+
+    The item assembly is a single co-partitioned groupBy on the join
+    key with ≤7 bounded rows per group (collect_list is safe), so the
+    plan is two shuffles end-to-end at any scale; paths are emitted by
+    whole-stage-codegen'd Column algebra, no Python."""
+    from fences_spark.schema.xsd import compile_xml_paths, parse_xsd
+
+    schema = parse_xsd(_ORDER_ITEMS_XSD)["order"]
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    price = F.when(
+        F.col("l_linenumber") % 3 == 0, -F.col("l_extendedprice")
+    ).otherwise(F.col("l_extendedprice"))
+    item_xml = F.concat(
+        F.lit('<item sku="SKU'), F.col("l_partkey").cast("string"),
+        F.lit('"><price>'), price.cast("string"), F.lit("</price></item>"))
+    items = (
+        li.select(F.col("l_orderkey"), F.struct("l_linenumber", item_xml.alias("x")).alias("it"))
+        .groupBy("l_orderkey")
+        .agg(F.array_join(F.transform(F.array_sort(F.collect_list("it")), lambda s: s.getField("x")), "").alias("items_xml"))
+    )
+    attr = F.when(F.col("o_orderkey") % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit(' id="'), F.col("o_orderkey").cast("string"), F.lit('"')))
+    prio = F.when(F.col("o_orderkey") % 5 == 0, F.lit("9-bad")).otherwise(
+        F.col("o_orderpriority"))
+    doc = orders.join(items, orders.o_orderkey == items.l_orderkey, "left").select(
+        "o_orderkey",
+        F.concat(
+            F.lit("<order"), attr, F.lit("><priority>"), prio, F.lit("</priority>"),
+            F.coalesce(F.col("items_xml"), F.lit("")), F.lit("</order>")).alias("x"))
+    paths, _tier = compile_xml_paths(schema, F.col("x"), "order")
+    return doc.select("o_orderkey", F.explode(paths).alias("path"))
+
+
+SQL_XSD_VIOLATION_PATHS = """
+SELECT l_orderkey AS o_orderkey,
+       '/order[0]/item['
+         || (ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1)
+         || ']/price[0]' AS path
+FROM lineitem
+QUALIFY l_linenumber % 3 = 0
+UNION ALL
+SELECT o_orderkey, '/order[0]/priority[0]' FROM orders WHERE o_orderkey % 5 = 0
+UNION ALL
+SELECT o_orderkey, '/order[0]/@id' FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
 def q_uneval_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unevaluatedProperties on JSON cells under the oracle gate:
     three synthesized variants of events.props validated against a
@@ -3221,6 +3316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "openapi_requests": q_openapi_requests,
     "openapi_responses": q_openapi_responses,
     "xsd_orders_xml": q_xsd_orders_xml,
+    "xsd_violation_paths": q_xsd_violation_paths,
     "uneval_props_events": q_uneval_props_events,
     "content_b64_docs": q_content_b64_docs,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -3301,6 +3397,7 @@ ORACLE_SQL: dict[str, str] = {
     "openapi_requests": SQL_OPENAPI_REQUESTS,
     "openapi_responses": SQL_OPENAPI_RESPONSES,
     "xsd_orders_xml": SQL_XSD_ORDERS_XML,
+    "xsd_violation_paths": SQL_XSD_VIOLATION_PATHS,
     "uneval_props_events": SQL_UNEVAL_PROPS_EVENTS,
     "content_b64_docs": SQL_CONTENT_B64_DOCS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,

@@ -647,3 +647,245 @@ def compile_xml_udf(schema: SchemaType, col: Column) -> Column:
         return batch.map(one)
 
     return _verdict(F.coalesce(col, F.lit("")))
+
+
+# ---------------------------------------------------------------------------
+# Per-element violation paths (NormalizedXPath diagnostics)
+#
+# The reference threads a NormalizedXPath — "/order[0]/item[2]/price[0]",
+# one (tag, per-tag sibling index) step per element — through its XSD
+# parsing for precise per-element diagnostics
+# (/root/reference/fences/xml_schema/xpath.py:12-36, surfaced via
+# xml_schema/exception.py:2 and parse.py:3).  The same path grammar is
+# emitted here by both compile tiers, from the validation itself:
+#
+# - value defect at a leaf element        →  <parent>/<tag>[<i>]
+# - attribute defect (bad value, missing) →  <parent>/@<name>
+# - text-node defect                      →  <parent>/#text
+# - missing required child                →  <parent>/<tag>   (no index:
+#                                            there is nothing to select)
+# - occurrence defect (scalar tag count ≠ 1, min/maxItems)
+#                                         →  <parent>/<tag>
+# - choice (oneOf) violation              →  <parent>
+# - malformed document                    →  /
+#
+# Paths are deduped + sorted per document; a document is valid iff the
+# array is empty (pinned against compile_xml in tests/test_xsd_paths.py).
+# ---------------------------------------------------------------------------
+
+
+def xml_violation_paths(doc: Any, schema: SchemaType, root_tag: str = "root") -> list[str]:
+    """Driver/Arrow-side per-element violation paths for one document."""
+    if doc is None:
+        return ["/"]
+    try:
+        elem = ET.fromstring(doc)
+    except ET.ParseError:
+        return ["/"]
+    out: set[str] = set()
+    _walk_paths(elem, schema, f"/{root_tag}[0]", out)
+    return sorted(out)
+
+
+def _walk_paths(elem: ET.Element, s: SchemaType, path: str, out: set[str]) -> None:
+    if not _is_object_schema(s):
+        # scalar leaf: structure where text is expected is a defect
+        # (mirrors xml_to_value's untyped-structural fallback, which
+        # the evaluator's scalar type check then rejects)
+        leaf = s if isinstance(s, dict) else {}
+        if len(elem) or elem.attrib or not Evaluator(leaf).validate(
+            _leaf_coerce(elem.text, leaf)
+        ):
+            out.add(path)
+        return
+    props = s.get("properties", {})
+    required = set(s.get("required", []))
+    for k, sub in props.items():
+        if k == "#text":
+            if not Evaluator(sub).validate(_leaf_coerce(elem.text, sub)):
+                out.add(f"{path}/#text")
+        elif k.startswith("@"):
+            name = k[1:]
+            if name in elem.attrib:
+                if not Evaluator(sub).validate(_leaf_coerce(elem.attrib[name], sub)):
+                    out.add(f"{path}/@{name}")
+            elif k in required:
+                out.add(f"{path}/@{name}")
+    by_name: dict[str, list[ET.Element]] = {}
+    for child in elem:
+        by_name.setdefault(_local(child.tag), []).append(child)
+    for k, sub in props.items():
+        if k == "#text" or k.startswith("@"):
+            continue
+        children = by_name.get(k, [])
+        if _is_array_schema(sub):
+            item = sub.get("items", {})
+            if children or k in required:
+                if "minItems" in sub and len(children) < int(sub["minItems"]):
+                    out.add(f"{path}/{k}")
+                if "maxItems" in sub and len(children) > int(sub["maxItems"]):
+                    out.add(f"{path}/{k}")
+            for j, c in enumerate(children):
+                _walk_paths(c, item, f"{path}/{k}[{j}]", out)
+        elif not children:
+            if k in required:
+                out.add(f"{path}/{k}")
+        elif len(children) > 1:
+            out.add(f"{path}/{k}")
+        else:
+            _walk_paths(children[0], sub, f"{path}/{k}[0]", out)
+    if s.get("oneOf"):
+        cnt = sum(
+            1
+            for o in s["oneOf"]
+            if isinstance(o, dict) and by_name.get((o.get("required") or [""])[0])
+        )
+        if cnt != 1:
+            out.add(path)
+
+
+class XmlPathCompiler(XmlBuiltinCompiler):
+    """Dialect-schema → Column of violation paths (array<string>) over
+    a ``from_xml`` struct — same supported subset (and the same
+    CompileError fallback) as the boolean builtin tier, same path
+    grammar as the Arrow tier above."""
+
+    _EMPTY = "array()"
+
+    def _empty(self) -> Column:
+        return F.expr("array()").cast("array<string>")
+
+    def compile_paths(self, schema: SchemaType, col: Column, root_tag: str) -> Column:
+        parsed0 = F.from_xml(F.coalesce(col, F.lit("")), spark_xml_schema(schema), _XML_OPTS)
+        root = F.lit(f"/{root_tag}[0]")
+
+        # bind the parsed struct ONCE via a 1-element transform lambda:
+        # the path expression references it a dozen-plus times, and each
+        # syntactic reference would re-run from_xml per row (Generate is
+        # outside whole-stage codegen, so no CSE rescues it)
+        def body(parsed: Column) -> Column:
+            if _is_object_schema(schema):
+                arr = self._object_paths(schema, parsed, root)
+            else:
+                leaf_bad = ~self._leaf_pred(
+                    schema, F.coalesce(parsed.getField("#text"), F.lit(""))
+                )
+                arr = F.array(F.when(leaf_bad, root))
+            arr = (
+                F.when(parsed.getField(_CORRUPT).isNotNull(), F.array(F.lit("/")))
+                .otherwise(arr)
+            )
+            return F.array_sort(F.array_distinct(F.filter(arr, lambda x: x.isNotNull())))
+
+        return F.element_at(F.transform(F.array(parsed0), body), 1)
+
+    def _object_paths(self, s: dict, col: Column, prefix: Column) -> Column:
+        unsupported = set(s) - _OBJECT_KEYWORDS
+        if unsupported:
+            raise CompileError(f"XML builtin tier cannot express: {sorted(unsupported)}")
+        parts: list[Column] = []
+        props = s.get("properties", {})
+        for k in s.get("required", []):
+            if k == "#text":
+                continue
+            name = "/@" + k[1:] if k.startswith("@") else "/" + k
+            parts.append(
+                F.array(F.when(col.getField(k).isNull(), F.concat(prefix, F.lit(name))))
+            )
+        for k, sub in props.items():
+            f = col.getField(k)
+            if k == "#text":
+                bad = ~self._leaf_pred(sub, F.coalesce(f, F.lit("")))
+                parts.append(F.array(F.when(bad, F.concat(prefix, F.lit("/#text")))))
+            elif k.startswith("@"):
+                bad = f.isNotNull() & ~self._leaf_pred(sub, f)
+                parts.append(F.array(F.when(bad, F.concat(prefix, F.lit("/@" + k[1:])))))
+            elif _is_array_schema(sub):
+                extra = set(sub) - _ARRAY_KEYWORDS
+                if extra:
+                    raise CompileError(f"XML array schema too rich: {sorted(extra)}")
+                parts.append(self._array_field_paths(k, sub, f, prefix))
+            else:
+                parts.append(self._scalar_field_paths(k, sub, f, prefix))
+        if s.get("oneOf"):
+            for opt in s["oneOf"]:
+                if not (
+                    isinstance(opt, dict)
+                    and set(opt) == {"required"}
+                    and len(opt["required"]) == 1
+                ):
+                    raise CompileError("XML builtin tier supports only choice-style oneOf")
+            count = functools.reduce(
+                operator.add,
+                [col.getField(o["required"][0]).isNotNull().cast("int") for o in s["oneOf"]],
+            )
+            parts.append(F.array(F.when(count != F.lit(1), prefix)))
+        if not parts:
+            return self._empty()
+        return F.flatten(F.array(*parts))
+
+    def _value_paths(self, s: SchemaType, c: Column, path: Column) -> Column:
+        if _is_object_schema(s):
+            return self._object_paths(s, c, path)
+        if not isinstance(s, dict):
+            if s in (True, {}):
+                return self._empty()
+            raise CompileError(f"XML leaf schema must be a dict: {s!r}")
+        return F.array(F.when(~self._leaf_pred(s, c), path))
+
+    def _array_field_paths(self, k: str, sub: dict, f: Column, prefix: Column) -> Column:
+        # a bound method call freezes k/sub/prefix — no late-binding
+        # lambda capture across the caller's loop
+        item = sub.get("items", {})
+        item_paths = F.flatten(
+            F.transform(
+                f,
+                lambda x, i: self._value_paths(
+                    item, x, F.concat(prefix, F.lit(f"/{k}["), i.cast("string"), F.lit("]"))
+                ),
+            )
+        )
+        occ: list[Column] = []
+        if "minItems" in sub:
+            occ.append(F.size(f) < F.lit(int(sub["minItems"])))
+        if "maxItems" in sub:
+            occ.append(F.size(f) > F.lit(int(sub["maxItems"])))
+        body = item_paths
+        if occ:
+            occ_bad = functools.reduce(operator.or_, occ)
+            body = F.concat(
+                F.array(F.when(occ_bad, F.concat(prefix, F.lit("/" + k)))), item_paths
+            )
+        return F.when(f.isNotNull(), body).otherwise(self._empty())
+
+    def _scalar_field_paths(self, k: str, sub: SchemaType, f: Column, prefix: Column) -> Column:
+        sub_paths = self._value_paths(
+            sub, F.element_at(f, 1), F.concat(prefix, F.lit(f"/{k}[0]"))
+        )
+        combined = (
+            F.when(F.size(f) != F.lit(1), F.array(F.concat(prefix, F.lit("/" + k))))
+            .otherwise(sub_paths)
+        )
+        return F.when(f.isNotNull(), combined).otherwise(self._empty())
+
+
+def compile_xml_paths_udf(schema: SchemaType, col: Column, root_tag: str) -> Column:
+    """Arrow-vectorized violation paths for a column of XML documents."""
+    from pyspark.sql.functions import pandas_udf
+
+    frozen = schema
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _paths(batch: pd.Series) -> pd.Series:
+        return batch.map(lambda d: xml_violation_paths(d, frozen, root_tag))
+
+    return _paths(col)
+
+
+def compile_xml_paths(schema: SchemaType, col: Column, root_tag: str) -> tuple[Column, str]:
+    """Per-element violation paths for an XML-text column: JVM builtin
+    tier first, Arrow evaluator fallback — mirroring compile_xml."""
+    try:
+        return XmlPathCompiler().compile_paths(schema, col, root_tag), "xml_builtin"
+    except CompileError:
+        return compile_xml_paths_udf(schema, col, root_tag), "arrow_udf"
