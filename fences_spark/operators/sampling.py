@@ -79,19 +79,28 @@ def quality_quota_sample(
     its best documents.  No reference precedent (training-data
     mixture, SURVEY.md §2.F).
 
-    Execution shape: quality is per-row Column algebra
-    (`operators.text.quality_score`, 6-dp rounded so ordering is
-    bit-identical cross-engine); selection is ONE window
-    ``row_number`` per stratum with a deterministic tie-break
-    (quality desc, doc_id asc) — a shuffle on the stratum key only.
-    Stratum skew (one language dominating) is the known hazard at
-    scale: the window sorts within each stratum partition, so pair
-    with AQE skew handling or pre-filter by a quality floor before
-    ranking when a stratum is orders of magnitude larger."""
+    Execution shape — SKEW-BOUNDED two-phase top-k: quality is
+    per-row Column algebra (`operators.text.quality_score`, 6-dp
+    rounded so ordering is bit-identical cross-engine); phase 1 ranks
+    within (stratum, salt) where salt = hash(doc_id) % salt_parts —
+    a dominant stratum is spread over ``salt_parts`` reducers instead
+    of serializing into one — and keeps each group's top ``quota``;
+    phase 2 is the final window over at most salt_parts × quota rows
+    per stratum.  Every global top-quota row is in the top quota of
+    its own salt group (its global betters are a superset of its
+    in-group betters), so the result is EXACTLY the single-window
+    answer, with a deterministic tie-break (quality desc, doc_id
+    asc).  Max reducer load: rows(stratum)/salt_parts in phase 1,
+    salt_parts×quota in phase 2 — both flat in corpus size.
+    Skew-gated in fences_spark.skewbench (quota_topk row)."""
     from pyspark.sql import Window
 
     from fences_spark.operators.text import quality_score
 
+    salt_parts = 64
+    w1 = Window.partitionBy("stratum", "salt").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
     w = Window.partitionBy("stratum").orderBy(F.col("quality").desc(), F.col("doc_id"))
     return (
         df.select(
@@ -99,6 +108,11 @@ def quality_quota_sample(
             F.col(strata_col).alias("stratum"),
             quality_score(F.col(text_col)).alias("quality"),
         )
+        .withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_parts))
+        )
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= quota)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= quota)
         .select("doc_id", "stratum", "quality", "rnk")
@@ -250,20 +264,66 @@ def quality_percentiles(
     the IEEE division is bit-identical — whereas rounding it to 6 dp
     is NOT (engines disagree on decimal ties: Spark rounds the exact
     binary value, DuckDB scales-then-rounds; observed one row in 5000
-    differing at the 6th dp).  ONE shuffle on the stratum key; same
-    skew caveat as :func:`quality_quota_sample`.
+    differing at the 6th dp).
+
+    Execution shape — SKEW-BOUNDED exact rank via bucket offsets: a
+    single window per stratum would sort a dominant language in one
+    reducer, so instead quality is quantized into ``buckets``
+    monotone bins and
+
+      rank = (rows of the stratum in LOWER buckets)   [broadcast join]
+           + row_number within (stratum, bucket)      [window]
+
+    which equals the single-window rank exactly because the bin is
+    monotone in the sort key (quality asc, doc_id asc breaks ties
+    only within a bin).  Max reducer load: rows(stratum)/buckets for
+    the window; the offsets relation is |strata|×buckets rows,
+    broadcast (drop the hint if strata cardinality is extreme).  The
+    quality expression is evaluated on both branches — persist the
+    projection first if that matters at your scale.  pct for a
+    single-row stratum is 0.0 (percent_rank's convention).
+    Skew-gated in fences_spark.skewbench (stratum_percentile row).
     """
     from pyspark.sql import Window
 
     from fences_spark.operators.text import quality_score
 
-    w = Window.partitionBy("stratum").orderBy(F.col("quality"), F.col("doc_id"))
-    return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(strata_col).alias("stratum"),
-            quality_score(F.col(text_col)).alias("quality"),
+    buckets = 1024
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("stratum"),
+        quality_score(F.col(text_col)).alias("quality"),
+    ).withColumn(
+        "b",
+        F.when(F.col("quality").isNull(), F.lit(-1))  # NULLS FIRST, like percent_rank
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(buckets - 1), F.floor(F.col("quality") * buckets)),
+            )
         )
-        .withColumn("pct", F.percent_rank().over(w))
-        .select("doc_id", "stratum", "quality", "pct")
+        .cast("int"),
+    )
+    woff = Window.partitionBy("stratum").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        base.groupBy("stratum", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "stratum",
+            "b",
+            F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("below"),
+            F.sum("cnt").over(Window.partitionBy("stratum")).alias("n"),
+        )
+    )
+    wloc = Window.partitionBy("stratum", "b").orderBy(F.col("quality"), F.col("doc_id"))
+    pct = F.when(
+        F.col("n") > 1,
+        (F.col("below") + F.col("lrnk") - 1).cast("double") / (F.col("n") - 1),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.withColumn("lrnk", F.row_number().over(wloc))
+        .join(F.broadcast(offsets), ["stratum", "b"])
+        .select("doc_id", "stratum", "quality", pct.alias("pct"))
     )

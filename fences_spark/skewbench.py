@@ -27,7 +27,15 @@ Jobs (identical plans at both inputs, AQE + skew-join on):
   3. per-repo stats via sort-merge join (broadcast disabled by plan
      hint — AQE splits the hot partition: skewJoin handling);
   4. per-repo aggregation over the hot grouping key;
-  5. exact content-fingerprint dedup groups (hot md5 key).
+  5. exact content-fingerprint dedup groups (hot md5 key);
+  6. per-stratum quality quota top-k (sampling.quality_quota_sample
+     — two-phase salted window, stratum = the 50%-hot repo);
+  7. per-stratum exact quality percentile
+     (sampling.quality_percentiles — bucket-offset rank, same hot
+     stratum).  Texts get a per-row suffix so quality varies: these
+     two rows stress STRATUM skew; identical-text tie skew is the
+     exact-dedup rows' job (dedup runs before mixture in the
+     pipeline, run/pipeline.py).
 """
 
 from __future__ import annotations
@@ -123,12 +131,38 @@ def _job_content_dedup_groups(df: DataFrame) -> int:
     )
 
 
+def _stratum_docs(df: DataFrame) -> DataFrame:
+    # unique id + per-row text suffix: the axis under stress here is
+    # the 50%-hot stratum, not identical-text ties (those belong to
+    # the dedup rows — dedup precedes mixture in the pipeline)
+    rid = F.monotonically_increasing_id().cast("string")
+    return df.select(
+        rid.alias("doc"),
+        F.col("repo"),
+        F.concat_ws(" ", F.col("content"), rid).alias("text"),
+    )
+
+
+def _job_quota_topk(df: DataFrame) -> int:
+    from fences_spark.operators.sampling import quality_quota_sample
+
+    return quality_quota_sample(_stratum_docs(df), "doc", "text", "repo", quota=50).count()
+
+
+def _job_stratum_percentile(df: DataFrame) -> int:
+    from fences_spark.operators.sampling import quality_percentiles
+
+    return quality_percentiles(_stratum_docs(df), "doc", "text", "repo").count()
+
+
 JOBS = [
     ("salted_dedup", lambda df, dim: _job_salted_dedup(df)),
     ("dup_key_count", lambda df, dim: _job_dup_key_count(df)),
     ("skew_merge_join", _job_skew_join),
     ("hot_groupby", lambda df, dim: _job_hot_groupby(df)),
     ("content_dedup_groups", lambda df, dim: _job_content_dedup_groups(df)),
+    ("quota_topk", lambda df, dim: _job_quota_topk(df)),
+    ("stratum_percentile", lambda df, dim: _job_stratum_percentile(df)),
 ]
 
 

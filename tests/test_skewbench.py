@@ -50,6 +50,8 @@ def test_stress_passes_and_split_fires(spark):
         "skew_merge_join",
         "hot_groupby",
         "content_dedup_groups",
+        "quota_topk",
+        "stratum_percentile",
     }
     assert d["skew_split_fired"] is True
     for name, v in d["ops"].items():

@@ -1374,3 +1374,57 @@ def test_round6_nonfinite_passthrough(spark):
         "SELECT round('inf'::DOUBLE, 6), round('-inf'::DOUBLE, 6), round('nan'::DOUBLE, 6)"
     ).fetchone()
     assert duck[0] == math.inf and duck[1] == -math.inf and math.isnan(duck[2])
+
+
+def test_quota_and_percentile_equal_single_window_forms(spark):
+    """The skew-bounded implementations (two-phase salted quota,
+    bucket-offset percentile) must be VALUE-IDENTICAL to the naive
+    single-window forms they replaced — including duplicate qualities
+    (tie-break by doc_id), empty-ish and single-row strata."""
+    import random as _r
+
+    from pyspark.sql import Window
+    from fences_spark.operators.sampling import (
+        quality_percentiles,
+        quality_quota_sample,
+    )
+    from fences_spark.operators.text import quality_score
+
+    rng = _r.Random(7)
+    words = ["alpha", "beta", "the", "gamma", "a", "of", "delta!"]
+    rows = []
+    for i in range(4000):
+        stratum = "hot" if i % 10 < 8 else f"s{i % 17}"  # one dominant stratum
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+        if i % 5 == 0:
+            text = "the same tied text appears very often"  # mass quality ties
+        rows.append((f"d{i:05d}", stratum, text))
+    rows.append(("only", "singleton", "lone document"))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    got_q = {
+        (r["doc_id"]): (r["stratum"], r["quality"], r["rnk"])
+        for r in quality_quota_sample(df, "doc_id", "text", "lang", quota=7).collect()
+    }
+    w = Window.partitionBy("stratum").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    naive = (
+        df.select("doc_id", F.col("lang").alias("stratum"),
+                  quality_score(F.col("text")).alias("quality"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 7)
+    )
+    want_q = {r["doc_id"]: (r["stratum"], r["quality"], r["rnk"]) for r in naive.collect()}
+    assert got_q == want_q
+
+    got_p = {
+        r["doc_id"]: (r["stratum"], r["quality"], r["pct"])
+        for r in quality_percentiles(df, "doc_id", "text", "lang").collect()
+    }
+    wp = Window.partitionBy("stratum").orderBy(F.col("quality"), F.col("doc_id"))
+    naive_p = (
+        df.select("doc_id", F.col("lang").alias("stratum"),
+                  quality_score(F.col("text")).alias("quality"))
+        .withColumn("pct", F.percent_rank().over(wp))
+    )
+    want_p = {r["doc_id"]: (r["stratum"], r["quality"], r["pct"]) for r in naive_p.collect()}
+    assert got_p == want_p
