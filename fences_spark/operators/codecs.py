@@ -1,17 +1,19 @@
-"""Pure-numpy codecs for the uncompressed media formats the sandbox
-CAN decode without external libraries: 24-bit BI_RGB BMP images and
-16-bit PCM WAV audio.
+"""Pure-numpy codecs for the media formats the sandbox CAN decode
+without external libraries: 24-bit BI_RGB BMP images, 16-bit PCM WAV
+audio, and 8-bit PNG images (zlib inflate + scanline unfiltering are
+both stdlib/numpy — no codec library needed).
 
 These make the multimodal ``decode="real"`` path real for every
-format that does not require a compression codec: the Arrow-batched
-operators in :mod:`fences_spark.operators.multimodal` dispatch on the
-payload container and run actual pixel/sample math (numpy, vectorized
-per Arrow batch).  Compressed containers (JPEG/PNG/MP3/MP4) still
-raise — the sandbox ships no codec libraries — with a message naming
-the library a deployment would add (reference analog: fences renders
-with pydot only when installed, core/render.py:28-40).
+format that does not require an EXTERNAL compression codec: the
+Arrow-batched operators in :mod:`fences_spark.operators.multimodal`
+dispatch on the payload container and run actual pixel/sample math
+(numpy, vectorized per Arrow batch).  Codec-bound containers
+(JPEG/MP3/MP4) still raise — the sandbox ships no codec libraries —
+with a message naming the library a deployment would add (reference
+analog: fences renders with pydot only when installed,
+core/render.py:28-40).
 
-Format notes (both are public, trivially stable specs):
+Format notes (all public, stable specs):
 
 - BMP: 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER
   (biCompression=0), bottom-up rows, BGR byte order, each row padded
@@ -19,17 +21,25 @@ Format notes (both are public, trivially stable specs):
 - WAV: RIFF container; chunks walked generically, ``fmt `` must be
   audio-format 1 (PCM) at 16 bits/sample; ``data`` holds interleaved
   little-endian int16 frames.
+- PNG (RFC 2083): 8-byte signature + CRC'd chunks; IHDR geometry,
+  IDAT zlib stream of filter-prefixed scanlines (filters 0-4: None/
+  Sub/Up/Average/Paeth), IEND.  Decoded here: bit depth 8, color
+  types 0 (gray), 2 (RGB), 3 (palette via PLTE), 6 (RGBA), no
+  interlace; the encoder emits color type 2 with filter 0.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 __all__ = [
     "encode_bmp",
     "decode_bmp",
+    "encode_png",
+    "decode_png",
     "encode_wav",
     "decode_wav",
     "resize_nearest",
@@ -43,9 +53,11 @@ __all__ = [
 
 
 def sniff_container(data: bytes) -> str:
-    """'bmp' | 'wav' | 'unknown' from magic bytes."""
+    """'bmp' | 'png' | 'wav' | 'unknown' from magic bytes."""
     if len(data) >= 2 and data[:2] == b"BM":
         return "bmp"
+    if len(data) >= 8 and data[:8] == _PNG_SIG:
+        return "png"
     if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     return "unknown"
@@ -108,6 +120,165 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if bottom_up:
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit; decode: gray/RGB/palette/RGBA, all 5 filters; encode: RGB)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes (color type 2, bit depth 8,
+    filter 0 on every scanline, one zlib IDAT)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got shape {arr.shape}")
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # filter byte 0 prefixed to each scanline
+    lines = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * 3)], axis=1
+    )
+    idat = zlib.compress(lines.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_scanlines(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters → (h, stride) uint8."""
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        off = r * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
+            np.int32
+        )
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub: per byte-lane prefix sum
+            cur = np.cumsum(line.reshape(-1, bpp), axis=0).reshape(-1) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = np.empty(stride, dtype=np.int32)
+            px = line.reshape(-1, bpp)
+            dst = cur.reshape(-1, bpp)
+            up = prev.reshape(-1, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(px.shape[0]):
+                left = (px[x] + ((left + up[x]) >> 1)) & 0xFF
+                dst[x] = left
+        elif ftype == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.int32)
+            px = line.reshape(-1, bpp)
+            dst = cur.reshape(-1, bpp)
+            up = prev.reshape(-1, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            for x in range(px.shape[0]):
+                p = left + up[x] - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up[x]), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up[x], ul)
+                )
+                left = (px[x] + pred) & 0xFF
+                dst[x] = left
+                ul = up[x]
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB.
+
+    Pure stdlib-zlib + numpy: chunk walk, IDAT inflate, scanline
+    unfiltering (all five filter types).  Bit depth 8 only; color
+    types 0 (gray, replicated to RGB), 2 (RGB), 3 (palette, PLTE
+    lookup), 6 (RGBA, alpha dropped).  Interlaced (Adam7) files and
+    other depths raise NotImplementedError naming the library a
+    deployment adds (PIL/Pillow)."""
+    data = bytes(data)
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, end = 8, len(data)
+    w = h = depth = ctype = interlace = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= end:
+        (clen,) = struct.unpack_from(">I", data, pos)
+        cid = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated PNG chunk")
+        if cid == b"IHDR":
+            if clen != 13:
+                raise ValueError(f"bad IHDR length {clen}")
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    if w == 0 or h == 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG is decodable here (got depth={depth}, "
+            f"interlace={interlace}); other variants need PIL/Pillow"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(
+            f"PNG color type {ctype} not decodable here (gray/RGB/palette/RGBA only); "
+            f"others need PIL/Pillow"
+        )
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG zlib stream: {exc}") from exc
+    stride = w * channels
+    lines = _unfilter_scanlines(raw, h, stride, channels)
+    px = lines.reshape(h, w, channels)
+    if ctype == 2:
+        return px.copy()
+    if ctype == 6:
+        return px[:, :, :3].copy()
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    # palette
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    idx = px[:, :, 0]
+    if int(idx.max(initial=0)) >= plte.shape[0]:
+        raise ValueError("PNG palette index out of range")
+    return plte[idx]
 
 
 # ---------------------------------------------------------------------------

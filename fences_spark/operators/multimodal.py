@@ -9,10 +9,11 @@ partitioning, output contract):
   reproducible by the DuckDB oracle, so these paths are value-hash
   gated end-to-end.
 - ``decode="real"`` — ACTUAL pixel/sample math for the containers a
-  codec-free sandbox can parse: 24-bit BMP images, 16-bit PCM WAV
+  codec-free sandbox can parse: 24-bit BMP and 8-bit PNG images
+  (PNG needs only stdlib zlib + numpy unfiltering), 16-bit PCM WAV
   audio, and a length-prefixed BMP-frame video container (``RAWV``,
   the stand-in for MP4) — see :mod:`fences_spark.operators.codecs`.
-  Compressed containers (JPEG/PNG/MP3/MP4) raise NotImplementedError
+  Codec-bound containers (JPEG/MP3/MP4) raise NotImplementedError
   naming the library a deployment would add (PIL / soundfile / pyav);
   that boundary is the only remaining stub.
 
@@ -63,7 +64,8 @@ def synth_media_table(spark: SparkSession, n: int) -> DataFrame:
 
 def synth_real_media_table(spark: SparkSession, n: int, *, seed: int = 2026) -> DataFrame:
     """Deterministic media rows whose payloads are REAL containers —
-    BMP images, PCM WAV audio, RAWV (BMP-frame) video — generated
+    BMP and PNG images (alternating per image row), PCM WAV audio,
+    RAWV (BMP-frame) video — generated
     DISTRIBUTED (mapInPandas over spark.range; nothing driver-side),
     pure function of (seed, media_id), so two runs and two cluster
     sizes produce byte-identical tables.  meta dims/duration are
@@ -80,8 +82,11 @@ def synth_real_media_table(spark: SparkSession, n: int, *, seed: int = 2026) -> 
                 if kind == "image":
                     w, h = int(rng.integers(4, 25)), int(rng.integers(4, 25))
                     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
-                    payload = codecs.encode_bmp(px)
-                    meta = {"mime": "image/bmp", "width": w, "height": h, "duration_ms": 0}
+                    if (mid // 3) % 2 == 0:
+                        payload, mime = codecs.encode_bmp(px), "image/bmp"
+                    else:
+                        payload, mime = codecs.encode_png(px), "image/png"
+                    meta = {"mime": mime, "width": w, "height": h, "duration_ms": 0}
                 elif kind == "audio":
                     rate = 8000
                     ns = int(rng.integers(400, 4001))
@@ -188,8 +193,8 @@ def decode_rawv(data: bytes) -> list[bytes]:
 def _codec_missing(kind: str) -> NotImplementedError:
     libs = {"image": "PIL/Pillow", "audio": "soundfile/librosa", "video": "pyav"}
     return NotImplementedError(
-        f"payload is not an uncompressed container this sandbox can parse "
-        f"(BMP/WAV/RAWV); decoding compressed {kind} needs {libs[kind]}, "
+        f"payload is not a container this sandbox can parse "
+        f"(BMP/PNG/WAV/RAWV); decoding codec-bound {kind} needs {libs[kind]}, "
         f"absent from this environment"
     )
 
@@ -204,8 +209,9 @@ def _real_feature(payload: bytes, modality: str) -> list[float]:
     stable across numpy builds."""
     data = bytes(payload or b"")
     kind = codecs.sniff_container(data)
-    if kind == "bmp":
-        px = codecs.decode_bmp(data).astype(np.float64) / 255.0
+    if kind in ("bmp", "png"):
+        dec = codecs.decode_bmp if kind == "bmp" else codecs.decode_png
+        px = dec(data).astype(np.float64) / 255.0
         h, w = px.shape[:2]
         means = px.reshape(-1, 3).mean(axis=0)
         stds = px.reshape(-1, 3).std(axis=0)
@@ -366,11 +372,16 @@ def resize_images(df: DataFrame, *, target_w: int = 64, target_h: int = 64,
                 digests = []
                 for p, ow, oh in zip(pdf["payload"], pdf["out_w"], pdf["out_h"]):
                     raw = bytes(p) if p is not None else b""
-                    if codecs.sniff_container(raw) != "bmp":
+                    kind = codecs.sniff_container(raw)
+                    if kind == "bmp":
+                        dec, enc = codecs.decode_bmp, codecs.encode_bmp
+                    elif kind == "png":
+                        dec, enc = codecs.decode_png, codecs.encode_png
+                    else:
                         raise _codec_missing("image")
-                    px = codecs.decode_bmp(raw)
+                    px = dec(raw)
                     out = codecs.resize_nearest(px, int(ow), int(oh))
-                    digests.append(hashlib.sha256(codecs.encode_bmp(out)).hexdigest())
+                    digests.append(hashlib.sha256(enc(out)).hexdigest())
             else:
                 digests = [
                     hashlib.sha256(

@@ -150,7 +150,9 @@ class TestRawv:
 def test_sniff_container():
     assert codecs.sniff_container(codecs.encode_bmp(np.zeros((1, 1, 3), dtype=np.uint8))) == "bmp"
     assert codecs.sniff_container(codecs.encode_wav(np.zeros(4, dtype=np.int16), 8000)) == "wav"
-    assert codecs.sniff_container(b"\x89PNG\r\n\x1a\n") == "unknown"
+    assert codecs.sniff_container(codecs.encode_png(np.zeros((1, 1, 3), dtype=np.uint8))) == "png"
+    assert codecs.sniff_container(b"\x89PNG\r\n\x1a") == "unknown"  # short sig
+    assert codecs.sniff_container(b"GIF89a") == "unknown"
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +180,9 @@ class TestRealDecodeOperators:
         for r in rows:
             payload = bytes(r["payload"])
             if r["modality"] == "image":
-                px = codecs.decode_bmp(payload)
+                kind = codecs.sniff_container(payload)
+                assert kind == ("bmp" if (r["media_id"] // 3) % 2 == 0 else "png")
+                px = (codecs.decode_bmp if kind == "bmp" else codecs.decode_png)(payload)
                 assert (r["meta"]["height"], r["meta"]["width"]) == px.shape[:2]
             elif r["modality"] == "audio":
                 samples, rate = codecs.decode_wav(payload)
@@ -195,7 +199,9 @@ class TestRealDecodeOperators:
         raw = {r["media_id"]: r for r in media.collect()}
         # spot-verify an image row against a local decode
         img_id = next(i for i in by_id if raw[i]["modality"] == "image")
-        px = codecs.decode_bmp(bytes(raw[img_id]["payload"])).astype(np.float64) / 255.0
+        blob = bytes(raw[img_id]["payload"])
+        dec = codecs.decode_bmp if codecs.sniff_container(blob) == "bmp" else codecs.decode_png
+        px = dec(blob).astype(np.float64) / 255.0
         want = px.reshape(-1, 3).mean(axis=0)
         got = by_id[img_id]["feature"][:3]
         assert np.allclose(got, want, atol=1e-6)
@@ -229,9 +235,14 @@ class TestRealDecodeOperators:
         raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
         assert out
         for r in out:
-            px = codecs.decode_bmp(raw[r["media_id"]])
+            blob = raw[r["media_id"]]
+            if codecs.sniff_container(blob) == "png":
+                dec, enc = codecs.decode_png, codecs.encode_png
+            else:
+                dec, enc = codecs.decode_bmp, codecs.encode_bmp
+            px = dec(blob)
             resized = codecs.resize_nearest(px, r["out_w"], r["out_h"])
-            want = hashlib.sha256(codecs.encode_bmp(resized)).hexdigest()
+            want = hashlib.sha256(enc(resized)).hexdigest()
             assert r["resized_sha256"] == want
             # aspect-fit geometry: within box, at least one side exact
             assert r["out_w"] <= 8 and r["out_h"] <= 8
@@ -348,3 +359,148 @@ def test_rawv_roundtrip_property(n_frames, w, h, seed):
     assert len(blobs) == n_frames
     for blob, fr in zip(blobs, frames):
         assert np.array_equal(codecs.decode_bmp(blob), fr)
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib + numpy unfiltering)
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+from fences_spark.operators.codecs import _PNG_SIG, _png_chunk
+
+
+def _forward_filter(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Independent FORWARD filter implementation (spec direction) —
+    decoding must invert it for every filter type."""
+    h, w, ch = img.shape
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for r in range(h):
+        f = ftypes[r % len(ftypes)]
+        line = flat[r]
+        left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = (line - left) & 0xFF
+        elif f == 2:
+            enc = (line - prev) & 0xFF
+        elif f == 3:
+            enc = (line - ((left + prev) >> 1)) & 0xFF
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            enc = (line - pred) & 0xFF
+        out.append(f)
+        out += enc.astype(np.uint8).tobytes()
+        prev = line
+    return bytes(out)
+
+
+def _png_doc(w, h, ctype, raw, plte=None):
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    doc = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        doc += _png_chunk(b"PLTE", plte.tobytes())
+    return doc + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+class TestPng:
+    def test_roundtrip(self):
+        rng = np.random.Generator(np.random.PCG64(3))
+        px = rng.integers(0, 256, size=(23, 31, 3), dtype=np.int64).astype(np.uint8)
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(px)), px)
+
+    @pytest.mark.parametrize("ftypes", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+    def test_all_filter_types_invert(self, ftypes):
+        rng = np.random.Generator(np.random.PCG64(sum(ftypes) + 11))
+        px = rng.integers(0, 256, size=(17, 13, 3), dtype=np.int64).astype(np.uint8)
+        doc = _png_doc(13, 17, 2, _forward_filter(px, ftypes))
+        assert np.array_equal(codecs.decode_png(doc), px)
+
+    def test_gray_palette_rgba_color_types(self):
+        rng = np.random.Generator(np.random.PCG64(5))
+        g = rng.integers(0, 256, size=(9, 7, 1), dtype=np.int64).astype(np.uint8)
+        got = codecs.decode_png(_png_doc(7, 9, 0, _forward_filter(g, [2])))
+        assert np.array_equal(got, np.repeat(g, 3, axis=2))
+        rgba = rng.integers(0, 256, size=(5, 6, 4), dtype=np.int64).astype(np.uint8)
+        got = codecs.decode_png(_png_doc(6, 5, 6, _forward_filter(rgba, [4])))
+        assert np.array_equal(got, rgba[:, :, :3])
+        plte = rng.integers(0, 256, size=(4, 3), dtype=np.int64).astype(np.uint8)
+        idx = rng.integers(0, 4, size=(6, 5, 1), dtype=np.int64).astype(np.uint8)
+        got = codecs.decode_png(_png_doc(5, 6, 3, _forward_filter(idx, [1]), plte=plte))
+        assert np.array_equal(got, plte[idx[:, :, 0]])
+
+    def test_rejects_garbage_and_unsupported(self):
+        with pytest.raises(ValueError):
+            codecs.decode_png(b"not a png")
+        with pytest.raises(ValueError):
+            codecs.decode_png(_PNG_SIG + b"\x00\x00")  # no chunks
+        # interlaced: NotImplementedError naming the deployment library
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+        doc = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+               + _png_chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError, match="PIL|Pillow"):
+            codecs.decode_png(doc)
+        # 16-bit depth
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+        doc = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 104))
+               + _png_chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError, match="PIL|Pillow"):
+            codecs.decode_png(doc)
+
+    def test_corrupt_streams(self):
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        blob = bytearray(codecs.encode_png(px))
+        # truncate the zlib stream body
+        with pytest.raises(ValueError):
+            codecs.decode_png(bytes(blob[:40]))
+        # bad filter type byte
+        raw = b"\x07" + b"\x00" * 12
+        with pytest.raises(ValueError, match="filter"):
+            codecs.decode_png(_png_doc(4, 1, 2, raw))
+        # palette index out of range
+        plte = np.zeros((2, 3), dtype=np.uint8)
+        idx = np.full((1, 1, 1), 9, dtype=np.uint8)
+        with pytest.raises(ValueError, match="palette"):
+            codecs.decode_png(_png_doc(1, 1, 3, _forward_filter(idx, [0]), plte=plte))
+
+    def test_resize_reencode(self):
+        rng = np.random.Generator(np.random.PCG64(9))
+        px = rng.integers(0, 256, size=(16, 12, 3), dtype=np.int64).astype(np.uint8)
+        out = codecs.resize_nearest(codecs.decode_png(codecs.encode_png(px)), 6, 8)
+        again = codecs.decode_png(codecs.encode_png(out))
+        assert np.array_equal(again, out)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(px)), px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    ftype=st.integers(0, 4),
+)
+def test_png_unfilter_inverts_any_filter_property(w, h, seed, ftype):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+    doc = _png_doc(w, h, 2, _forward_filter(px, [ftype]))
+    assert np.array_equal(codecs.decode_png(doc), px)
