@@ -257,8 +257,14 @@ class Evaluator:
         here follow the spec, arbitrated by the oracle."""
         _none: set = _EMPTY
         if _depth > self.MAX_DEPTH:
-            # recursive schema deeper than any sane instance; treat as
-            # invalid rather than recurse forever
+            # NO-PROGRESS recursion bound: _depth counts only schema
+            # re-entries over the SAME instance location ($ref chains,
+            # in-place applicators) and resets to 0 on every descent
+            # into a child value, so arbitrarily deep instances
+            # validate exactly (parity past the compile tiers' unroll
+            # bound is property-tested in test_compilers.py) while a
+            # value-free $ref cycle ({"$ref": "#"} chains) still
+            # terminates as invalid rather than recursing forever
             return False, _none, _none
         if schema is None:
             schema = self.root
@@ -375,16 +381,16 @@ class Evaluator:
             prefix = s.get("prefixItems", [])
             for i, sub in enumerate(prefix):
                 if i < n:
-                    if not self.validate(v[i], sub, dep):
+                    if not self.validate(v[i], sub, 0):
                         return _fail
                     ev_items.add(i)
             if "items" in s:
                 for i in range(len(prefix), n):
-                    if not self.validate(v[i], s["items"], dep):
+                    if not self.validate(v[i], s["items"], 0):
                         return _fail
                     ev_items.add(i)
             if "contains" in s:
-                hit_idx = [i for i in range(n) if self.validate(v[i], s["contains"], dep)]
+                hit_idx = [i for i in range(n) if self.validate(v[i], s["contains"], 0)]
                 if len(hit_idx) < s.get("minContains", 1):
                     return _fail
                 if "maxContains" in s and len(hit_idx) > s["maxContains"]:
@@ -408,14 +414,14 @@ class Evaluator:
             props = s.get("properties", {})
             for k, sub in props.items():
                 if k in v:
-                    if not self.validate(v[k], sub, dep):
+                    if not self.validate(v[k], sub, 0):
                         return _fail
                     ev_props.add(k)
             pat_props = s.get("patternProperties", {})
             for pat, sub in pat_props.items():
                 for k in v:
                     if _search(pat, k):
-                        if not self.validate(v[k], sub, dep):
+                        if not self.validate(v[k], sub, 0):
                             return _fail
                         ev_props.add(k)
             if "additionalProperties" in s:
@@ -425,14 +431,14 @@ class Evaluator:
                         continue
                     if any(_search(pat, k) for pat in pat_props):
                         continue
-                    if not self.validate(v[k], ap, dep):
+                    if not self.validate(v[k], ap, 0):
                         return _fail
                     ev_props.add(k)
             if "propertyNames" in s:
                 # applies to the *names*, not the members: evaluates
                 # no properties (spec annotation model)
                 for k in v:
-                    if not self.validate(k, s["propertyNames"], dep):
+                    if not self.validate(k, s["propertyNames"], 0):
                         return _fail
             for trigger, needed in s.get("dependentRequired", {}).items():
                 if trigger in v and any(k not in v for k in needed):
@@ -503,14 +509,14 @@ class Evaluator:
             up = s["unevaluatedProperties"]
             for k in v:
                 if k not in ev_props:
-                    if not self.validate(v[k], up, dep):
+                    if not self.validate(v[k], up, 0):
                         return _fail
                     ev_props.add(k)
         if "unevaluatedItems" in s and isinstance(v, (list, tuple)):
             ui = s["unevaluatedItems"]
             for i in range(len(v)):
                 if i not in ev_items:
-                    if not self.validate(v[i], ui, dep):
+                    if not self.validate(v[i], ui, 0):
                         return _fail
                     ev_items.add(i)
 
@@ -549,7 +555,7 @@ class Evaluator:
             except (ValueError, TypeError):
                 return False
             if "contentSchema" in s:
-                return self.validate(doc, s["contentSchema"], dep)
+                return self.validate(doc, s["contentSchema"], 0)
         return True
 
 

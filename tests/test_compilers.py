@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from fences_spark.compiler import CompileError
@@ -357,3 +358,141 @@ class TestPortableRegexGuard:
         df = spark.createDataFrame([({"a": 1.0},)], "v map<string, double>")
         with pytest.raises(CompileError):
             TypedCompiler(schema).compile(df["v"], df.schema["v"].dataType)
+
+
+# ---------------------------------------------------------------------------
+# recursive-$ref depth properties: instances PAST the unroll bound
+# (reference precedent: test/json_schema/test_generate.py:123-227)
+# ---------------------------------------------------------------------------
+
+RECURSIVE_SHAPES = {
+    "linked_list": {
+        "$defs": {"node": {"type": "object",
+                           "properties": {"v": {"type": "integer"},
+                                          "next": {"$ref": "#/$defs/node"}},
+                           "required": ["v"]}},
+        "$ref": "#/$defs/node"},
+    "tree": {
+        "$defs": {"t": {"type": "object",
+                        "properties": {"v": {"type": "integer"},
+                                       "kids": {"type": "array",
+                                                "items": {"$ref": "#/$defs/t"}}},
+                        "required": ["v"]}},
+        "$ref": "#/$defs/t"},
+    "alternating": {
+        "$defs": {"a": {"type": "object",
+                        "properties": {"b": {"$ref": "#/$defs/b"}},
+                        "required": []},
+                  "b": {"type": "array",
+                        "items": {"$ref": "#/$defs/a"},
+                        "maxItems": 2}},
+        "$ref": "#/$defs/a"},
+}
+
+
+def _deep_instance(shape: str, depth: int, defect_at: int | None):
+    """Build an instance of the given nesting depth; plant a type
+    defect at level ``defect_at`` when given."""
+    if shape == "linked_list":
+        top = node = {"v": 0}
+        for d in range(1, depth):
+            node["next"] = {"v": d}
+            node = node["next"]
+        if defect_at is not None:
+            cur = top
+            for _ in range(defect_at):
+                cur = cur["next"]
+            cur["v"] = "bad"
+        return top
+    if shape == "tree":
+        top = node = {"v": 0, "kids": []}
+        for d in range(1, depth):
+            child = {"v": d, "kids": []}
+            node["kids"] = [{"v": -d}, child]
+            node = child
+        if defect_at is not None:
+            cur = top
+            for _ in range(defect_at):
+                cur = cur["kids"][-1]
+            cur["v"] = "bad"
+        return top
+    # alternating object/array recursion
+    top = node = {}
+    for d in range(1, depth):
+        child: dict = {}
+        node["b"] = [child]
+        node = child
+    if defect_at is not None:
+        cur = top
+        for _ in range(defect_at):
+            cur = cur["b"][0]
+        cur["b"] = [1]  # array item must be an object
+    return top
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    shape=st.sampled_from(sorted(RECURSIVE_SHAPES)),
+    depth=st.integers(13, 160),  # strictly past the unroll bound (12)
+    defect=st.one_of(st.none(), st.floats(0.0, 1.0)),
+)
+def test_evaluator_deep_recursion_matches_jsonschema(shape, depth, defect):
+    """Arrow-tier evaluator verdicts must equal jsonschema for
+    instances whose nesting is far beyond the compile tiers' unroll
+    bound — including defects planted at the DEEPEST levels (a
+    truncating evaluator would miss them)."""
+    import jsonschema
+
+    from fences_spark.schema.evaluator import Evaluator
+
+    schema = RECURSIVE_SHAPES[shape]
+    defect_at = None if defect is None else min(int(defect * depth), depth - 1)
+    inst = _deep_instance(shape, depth, defect_at)
+    want = jsonschema.Draft202012Validator(schema).is_valid(inst)
+    got = Evaluator(schema).validate(inst)
+    assert got == want, (shape, depth, defect_at, got, want)
+    if defect_at is not None:
+        assert want is False  # the planted defect must actually bite
+
+
+@pytest.mark.parametrize("shape", sorted(RECURSIVE_SHAPES))
+def test_spark_tier_deep_recursion_matches_jsonschema(shape, spark):
+    """Same property through compile_json: a recursive schema exceeds
+    the variant tier's bounded unroll, so dispatch must fall back to
+    the Arrow UDF and still judge 120-deep instances exactly.  (The
+    typed tier is structurally bounded by the column dtype —
+    test_recursive_ref_bounded_by_dtype.)"""
+    import json as _json
+
+    import jsonschema
+
+    from fences_spark.compiler.jsonvalue import compile_json
+
+    schema = RECURSIVE_SHAPES[shape]
+    cases = []
+    for depth in (13, 40, 120):
+        cases.append(_deep_instance(shape, depth, None))
+        cases.append(_deep_instance(shape, depth, depth - 1))
+        cases.append(_deep_instance(shape, depth, depth // 2))
+    val = jsonschema.Draft202012Validator(schema)
+    # jsonschema burns ~4 Python frames per nesting level and the
+    # alternating shape nests 2 levels per depth unit — give the
+    # oracle stack headroom (the engine under test runs in Arrow
+    # workers with their own fresh stack)
+    import sys
+
+    saved = sys.getrecursionlimit()
+    sys.setrecursionlimit(20000)
+    try:
+        want = [val.is_valid(c) for c in cases]
+    finally:
+        sys.setrecursionlimit(saved)
+    df = spark.createDataFrame(
+        [(i, _json.dumps(c)) for i, c in enumerate(cases)], "i long, js string"
+    )
+    pred, tier = compile_json(schema, F.col("js"))
+    assert tier == "arrow_udf"  # past the unroll bound → fallback tier
+    got = {r["i"]: r["ok"] for r in df.select("i", pred.alias("ok")).collect()}
+    for i, w in enumerate(want):
+        assert got[i] == w, (shape, i, got[i], w)
+    assert not all(want) and any(want)  # both verdicts exercised
