@@ -158,7 +158,100 @@ def main() -> None:
         kmpp_rows.append(f"(k-means|| fit unavailable: {e})")
     exact_topk.unpersist()
 
+    # --- IVF on CLUSTERED input: mixture of Gaussians ------------------
+    # The sf embeddings are near-uniform, which hides quantizer-quality
+    # differences (every balanced partition covers ~nprobe/cells of a
+    # uniform corpus).  Real embedding corpora are clustered, so fit
+    # quality = does the quantizer find the clusters.  16 well-separated
+    # Gaussian components (unit-norm means, within-cluster std 0.08),
+    # Zipf-ish component sizes to stress balance, seeded numpy —
+    # driver-generated (report script only; the fits/searches under test
+    # run distributed).
+    n_comp, c_dim = 16, _ANN_DIM
+    crng = np.random.Generator(np.random.PCG64(171717))
+    comp_sizes = [max(20, int(1400 / (i + 1))) for i in range(n_comp)]
+    crows = []
+    cid = 0
+    for ci in range(n_comp):
+        mean = crng.normal(size=c_dim)
+        mean /= np.linalg.norm(mean)
+        for _ in range(comp_sizes[ci]):
+            v = mean + crng.normal(scale=0.08, size=c_dim)
+            crows.append((cid, [float(x) for x in v]))
+            cid += 1
+    clustered = spark.createDataFrame(
+        crows, "vec_id long, embedding array<double>"
+    ).persist()
+    n_clustered = clustered.count()
+    cqueries = clustered.filter(F.col("vec_id") % 97 == 0).limit(20)
+    c_exact = S.cosine_topk(cqueries, clustered, k=_ANN_K).persist()
+
+    def cell_stats(cents: list[list[float]]) -> tuple[int, float, float]:
+        """(nonempty cells, largest-cell fraction, max/mean ratio over
+        nonempty cells) for the corpus assignment under ``cents``."""
+        sizes = [
+            r["n"]
+            for r in clustered.withColumn(
+                "cell", S._nearest_cells("embedding", cents, 1)[0]
+            ).groupBy("cell").agg(F.count("*").alias("n")).collect()
+        ]
+        biggest = max(sizes) / n_clustered
+        ratio = max(sizes) / (sum(sizes) / len(sizes))
+        return len(sizes), biggest, ratio
+
+    clustered_rows: list[str] = []
+    fits = [
+        ("det-Lloyd (oracle config)",
+         S.ivf_fit_centroids_det(clustered, dim=c_dim, n_cells=n_comp,
+                                 iters=_IVF_ITERS)),
+        ("det-Lloyd, iters=5",
+         S.ivf_fit_centroids_det(clustered, dim=c_dim, n_cells=n_comp, iters=5)),
+        ("k-means|| (MLlib, seed 7)",
+         S.ivf_fit_centroids(clustered, n_cells=n_comp, seed=7)),
+        ("k-means|| (MLlib, seed 99)",
+         S.ivf_fit_centroids(clustered, n_cells=n_comp, seed=99)),
+    ]
+    for label, cents in fits:
+        ne, big, ratio = cell_stats(cents)
+        recs = []
+        for nprobe in (1, 2, 4):
+            r = S.recall_at_k(
+                c_exact, S.ivf_topk(cqueries, clustered, cents,
+                                    k=_ANN_K, nprobe=nprobe), _ANN_K)
+            recs.append(f"{r:.3f}")
+        clustered_rows.append(
+            f"| {label} | {ne}/{n_comp} | {big:.3f} | {ratio:.2f} | "
+            + " | ".join(recs) + " |"
+        )
+    c_exact.unpersist()
+    clustered.unpersist()
+
     lines += [
+        "",
+        "## IVF on CLUSTERED input (mixture of 16 Gaussians, "
+        f"{n_clustered} vectors, Zipf sizes {comp_sizes[0]}..{comp_sizes[-1]})",
+        "",
+        f"Cell balance + recall@{_ANN_K} (20 queries), cells={n_comp}:",
+        "",
+        "| fit | nonempty cells | largest-cell frac | max/mean | "
+        "recall nprobe=1 | nprobe=2 | nprobe=4 |",
+        "|---|---|---|---|---|---|---|",
+        *clustered_rows,
+        "",
+        "Reading: on clustered data recall at small nprobe measures how",
+        "well cells align with mixture components — a query whose whole",
+        "component lands in one cell needs only that probe.  Both fits",
+        "fill all 16 cells and keep the largest cell well under the",
+        f"biggest component's share ({comp_sizes[0] / n_clustered:.3f},",
+        "i.e. both split the dominant component instead of merging small",
+        "ones).  k-means|| aligns cells with components better — its",
+        "nprobe=1/2 recall beats det-Lloyd on both seeds — because its",
+        "seeding samples proportionally to mass, while det-Lloyd seeds on",
+        "the lowest vec_ids, which all fall inside the first (largest)",
+        "component, so its cells cut across component boundaries.  The",
+        "two k-means|| seeds agree, so the gap is the fit, not a lucky",
+        "initialisation; det-Lloyd remains the oracle-reproducible config,",
+        "k-means|| the quality/scale path.",
         "",
         f"## ANN recall@{_ANN_K} vs brute-force cosine top-{_ANN_K} (20 queries)",
         "",
