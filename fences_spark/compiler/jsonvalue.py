@@ -100,7 +100,7 @@ _SUPPORTED_VARIANT_KEYWORDS = frozenset(
 ) | frozenset(
     {
         "description", "title", "$comment", "deprecated", "example",
-        "examples", "default", "$schema", "$id",
+        "examples", "default", "$schema", "$id", "$anchor",
     }
 )
 
@@ -153,6 +153,14 @@ class VariantCompiler:
     CompileError on anything it cannot express exactly."""
 
     def __init__(self, root: SchemaType):
+        from fences_spark.schema.evaluator import uses_dynamic_scope
+
+        if uses_dynamic_scope(root):
+            # $dynamicRef / $dynamicAnchor / non-root $id need the
+            # dynamic-scope resolution only the Arrow evaluator
+            # carries; plain $anchor in a single-resource document
+            # compiles fine (static resolution via the evaluator index)
+            raise CompileError("dynamic-scope document: Arrow tier required")
         self.root = root
         self.evaluator = Evaluator(root)
 

@@ -101,6 +101,12 @@ class TypedCompiler:
     """Compiles ``root`` (and its ``$defs``) against typed columns."""
 
     def __init__(self, root: SchemaType, max_ref_depth: int = _MAX_REF_DEPTH):
+        from fences_spark.schema.evaluator import uses_dynamic_scope
+
+        if uses_dynamic_scope(root):
+            # $dynamicRef / $dynamicAnchor / non-root $id: dynamic-scope
+            # resolution lives only in the Arrow evaluator
+            raise CompileError("dynamic-scope document: Arrow tier required")
         # applicator-free unevaluated* lowers to additionalProperties/
         # items at compile time; annotation-needing shapes raise here
         # and callers fall back to the Arrow evaluator

@@ -30,9 +30,10 @@ import binascii
 import json
 import math
 import re
+import sys
 from fractions import Fraction
 from typing import Any, Union
-from urllib.parse import unquote
+from urllib.parse import unquote, urljoin
 
 # shared empty-annotation sentinel: callers only read / union-copy it
 _EMPTY: set = frozenset()  # type: ignore[assignment]
@@ -61,8 +62,54 @@ ANNOTATION_KEYWORDS = frozenset(
         "writeOnly",
         "$schema",
         "$id",
+        "$anchor",
+        "$dynamicAnchor",
     }
 )
+
+# The schema-bearing positions of draft 2020-12 — the only places the
+# $id/$anchor index walk descends into (enum/const values and unknown
+# keywords are DATA; a "$id" inside them must not register).
+_SUBSCHEMA_KEYS = frozenset(
+    {
+        "items", "additionalProperties", "contains", "propertyNames",
+        "not", "if", "then", "else", "contentSchema",
+        "unevaluatedItems", "unevaluatedProperties",
+    }
+)
+_SUBSCHEMA_MAPS = frozenset(
+    {"properties", "patternProperties", "dependentSchemas", "$defs", "definitions"}
+)
+_SUBSCHEMA_LISTS = frozenset({"allOf", "anyOf", "oneOf", "prefixItems"})
+
+
+def uses_dynamic_scope(root: Any) -> bool:
+    """True when validating ``root`` needs base-URI / dynamic-scope
+    machinery beyond a single resource — any $dynamicRef or
+    $dynamicAnchor, or a $id on a NON-root schema object (which
+    re-bases refs inside its subtree).  The compile tiers route such
+    documents to the Arrow evaluator; a root-level $id alone re-bases
+    nothing and stays compilable."""
+
+    def walk(node: Any, is_root: bool) -> bool:
+        if not isinstance(node, dict):
+            return False
+        if "$dynamicRef" in node or "$dynamicAnchor" in node:
+            return True
+        if not is_root and isinstance(node.get("$id"), str) and node["$id"]:
+            return True
+        for k, v in node.items():
+            if k in _SUBSCHEMA_KEYS and walk(v, False):
+                return True
+            if k in _SUBSCHEMA_MAPS and isinstance(v, dict):
+                if any(walk(vv, False) for vv in v.values()):
+                    return True
+            if k in _SUBSCHEMA_LISTS and isinstance(v, list):
+                if any(walk(vv, False) for vv in v):
+                    return True
+        return False
+
+    return walk(root, True)
 
 # ---------------------------------------------------------------------------
 # format registry — the nine canned formats of the reference
@@ -213,30 +260,152 @@ class Evaluator:
 
             plugins = snapshot()
         self._plugins = plugins
+        # instance-depth recursion is bounded by the INPUT (schema
+        # re-entry is capped separately by the no-progress guard), and
+        # the dynamic-scope wrapper costs one extra frame per nesting
+        # level — give deep-but-legitimate instances headroom in both
+        # driver and Arrow-worker processes (the test suite drives
+        # 240-level nesting; jsonschema itself needs a similar bump)
+        if sys.getrecursionlimit() < 20000:
+            sys.setrecursionlimit(20000)
+        self._build_index()
+        # dynamic scope: the chain of distinct schema RESOURCES entered
+        # along the current evaluation path, outermost first — the
+        # $dynamicRef search space (draft 2020-12 §8.2.3.2).  Instance
+        # state, not a parameter: each Evaluator is single-threaded
+        # (one per UDF worker / driver call site), and the _validate
+        # wrapper pops in a finally, so a raising validate can't leak
+        self._scope: list[str] = []
 
-    # -- $ref resolution (local JSON pointers only, like the
-    # reference's JsonPointer, fences/json_schema/json_pointer.py:5-57)
-    def _resolve_ref(self, ref: str) -> SchemaType:
-        if not ref.startswith("#"):
-            raise ValueError(f"only local refs supported: {ref}")
-        node: Any = self.root
-        frag = ref[1:].lstrip("/")
-        if frag:
-            for raw in frag.split("/"):
-                # a $ref is a URI fragment: percent-decode first
-                # (#/$defs/percent%25field → "percent%field"), then the
-                # RFC 6901 ~-unescapes
-                token = unquote(raw).replace("~1", "/").replace("~0", "~")
-                if isinstance(node, list):
-                    node = node[int(token)]
-                else:
-                    node = node[token]
+    # -- $id / $anchor / $dynamicAnchor index ---------------------------
+    # Built once per instance by walking KNOWN schema positions only:
+    # enum/const values and unknown keywords are data, so a "$id"
+    # inside them never registers (the suite's unknownKeyword.json
+    # semantics come free).
+    def _build_index(self) -> None:
+        self._resources: dict[str, Any] = {}
+        self._anchors: dict[tuple[str, str], Any] = {}
+        self._dyn_anchors: dict[tuple[str, str], Any] = {}
+        self._base_of: dict[int, str] = {}
+
+        def walk(node: Any, base: str) -> None:
+            if not isinstance(node, dict):
+                return
+            rid = node.get("$id")
+            if isinstance(rid, str) and rid:
+                base = urljoin(base, rid) if base else rid
+                self._resources.setdefault(base, node)
+            self._base_of[id(node)] = base
+            a = node.get("$anchor")
+            if isinstance(a, str):
+                self._anchors.setdefault((base, a), node)
+            d = node.get("$dynamicAnchor")
+            if isinstance(d, str):
+                self._dyn_anchors.setdefault((base, d), node)
+            for k, v in node.items():
+                if k in _SUBSCHEMA_KEYS:
+                    walk(v, base)
+                elif k in _SUBSCHEMA_MAPS and isinstance(v, dict):
+                    for vv in v.values():
+                        walk(vv, base)
+                elif k in _SUBSCHEMA_LISTS and isinstance(v, list):
+                    for vv in v:
+                        walk(vv, base)
+
+        root_id = self.root.get("$id") if isinstance(self.root, dict) else None
+        self._root_base = root_id if isinstance(root_id, str) and root_id else ""
+        walk(self.root, "")
+        self._resources.setdefault(self._root_base, self.root)
+        if isinstance(self.root, dict):
+            self._base_of.setdefault(id(self.root), self._root_base)
+
+    # -- $ref resolution: RFC 6901 pointers (like the reference's
+    # JsonPointer, fences/json_schema/json_pointer.py:5-57), plus
+    # $anchor names and in-document $id resource URIs resolved against
+    # the referencing object's base; remote (out-of-document) resources
+    # stay unsupported, like the reference
+    def _resolve_ref(self, ref: str, base: str | None = None) -> SchemaType:
+        if base is None:
+            base = self._scope[-1] if self._scope else self._root_base
+        uri, _, frag = ref.partition("#")
+        target_base = (urljoin(base, uri) if base else uri) if uri else base
+        node: Any = self._resources.get(target_base)
+        if node is None:
+            if uri:
+                raise ValueError(f"only in-document refs supported: {ref}")
+            node = self.root
+        if not frag or frag.strip("/") == "":
+            return node  # resource root: "", "#", "#/"
+        if not frag.startswith("/"):
+            # plain-name fragment = $anchor (a $dynamicAnchor also
+            # registers as a plain anchor for non-dynamic $refs)
+            name = unquote(frag)
+            hit = self._anchors.get((target_base, name))
+            if hit is None:
+                hit = self._dyn_anchors.get((target_base, name))
+            if hit is None:
+                raise ValueError(f"unknown anchor: {ref}")
+            return hit
+        for raw in frag.lstrip("/").split("/"):
+            # a $ref is a URI fragment: percent-decode first
+            # (#/$defs/percent%25field → "percent%field"), then the
+            # RFC 6901 ~-unescapes
+            token = unquote(raw).replace("~1", "/").replace("~0", "~")
+            if isinstance(node, list):
+                node = node[int(token)]
+            else:
+                node = node[token]
         return node
+
+    def _resolve_dynamic_ref(self, ref: str, holder: SchemaType) -> SchemaType:
+        """$dynamicRef: resolve like $ref first; iff that initial
+        target is a $dynamicAnchor of the referenced name (the spec's
+        bookending rule), re-resolve to the FIRST resource in the
+        dynamic scope (outermost-in) defining a $dynamicAnchor of that
+        name; otherwise it behaves exactly like $ref."""
+        base = self._base_of.get(id(holder))
+        static = self._resolve_ref(ref, base)
+        frag = unquote(ref.partition("#")[2])
+        if (
+            frag
+            and not frag.startswith("/")
+            and isinstance(static, dict)
+            and static.get("$dynamicAnchor") == frag
+        ):
+            for b in self._scope:
+                hit = self._dyn_anchors.get((b, frag))
+                if hit is not None:
+                    return hit
+        return static
 
     def validate(self, value: Any, schema: SchemaType | None = None, _depth: int = 0) -> bool:
         return self._validate(value, schema, _depth)[0]
 
     def _validate(
+        self, value: Any, schema: SchemaType | None = None, _depth: int = 0
+    ) -> tuple[bool, set, set]:
+        """Dynamic-scope bookkeeping wrapper: entering a schema object
+        whose resource differs from the current scope top pushes that
+        resource's base URI for the duration of the subtree — the
+        resource chain ``_resolve_dynamic_ref`` searches.  Derived
+        schema objects (normalizer/compiler-built wrappers) are not in
+        the index and push nothing — refs inside them resolve against
+        the innermost indexed resource.  All validation semantics live
+        in ``_validate_inner``."""
+        s = self.root if schema is None else schema
+        pushed = False
+        if isinstance(s, dict):
+            b = self._base_of.get(id(s))
+            if b is not None and (not self._scope or self._scope[-1] != b):
+                self._scope.append(b)
+                pushed = True
+        try:
+            return self._validate_inner(value, s, _depth)
+        finally:
+            if pushed:
+                self._scope.pop()
+
+    def _validate_inner(
         self, value: Any, schema: SchemaType | None = None, _depth: int = 0
     ) -> tuple[bool, set, set]:
         """Core evaluation with draft-2020-12 annotation collection:
@@ -293,7 +462,16 @@ class Evaluator:
                     return False, _none, _none
 
         if "$ref" in s:
-            ok, p, i = self._validate(v, self._resolve_ref(s["$ref"]), dep)
+            target = self._resolve_ref(s["$ref"], self._base_of.get(id(s)))
+            ok, p, i = self._validate(v, target, dep)
+            if not ok:
+                return False, _none, _none
+            ev_props |= p
+            ev_items |= i
+        if "$dynamicRef" in s:
+            # in-place applicator like $ref: annotations merge
+            target = self._resolve_dynamic_ref(s["$dynamicRef"], s)
+            ok, p, i = self._validate(v, target, dep)
             if not ok:
                 return False, _none, _none
             ev_props |= p

@@ -525,6 +525,15 @@ OPAQUE_KEYWORDS = frozenset(
         "contentEncoding",
         "contentMediaType",
         "contentSchema",
+        # identifier/dynamic-scope keywords: DNF restructuring moves
+        # subtrees, which would detach $anchor names from their "#name"
+        # refs and change the resource chain $dynamicRef resolves
+        # against — pass through untouched (the Arrow tier evaluates
+        # them natively; non-root $id is caught by uses_dynamic_scope
+        # in normalize() below)
+        "$anchor",
+        "$dynamicAnchor",
+        "$dynamicRef",
     }
 )
 
@@ -554,7 +563,9 @@ class Normalizer:
         return Evaluator(self.root)._resolve_ref(ref)
 
     def normalize(self) -> dict:
-        if contains_opaque(self.root):
+        from fences_spark.schema.evaluator import uses_dynamic_scope
+
+        if contains_opaque(self.root) or uses_dynamic_scope(self.root):
             # DNF restructuring is not annotation-safe: folding an
             # allOf branch's `properties` into a sibling changes which
             # keys count as *evaluated* for unevaluatedProperties/
@@ -733,6 +744,10 @@ def _relocate_relative_refs(root: SchemaType) -> SchemaType:
                     and isinstance(v, str)
                     and v.startswith("#/")
                     and not v.startswith("#/$defs/")
+                    # "#/" (any all-slash fragment) resolves to the root
+                    # like "#" — a root self-ref survives re-rooting by
+                    # construction and must NOT become a root copy
+                    and v[1:].lstrip("/") != ""
                 ):
                     if v not in relocated:
                         name = def_name(v)
@@ -757,6 +772,13 @@ def _relocate_relative_refs(root: SchemaType) -> SchemaType:
 
 def normalize(schema: SchemaType) -> dict:
     """Normalize to DNF: {'anyOf': [conjunctive options], '$defs': …}."""
+    from fences_spark.schema.evaluator import uses_dynamic_scope
+
+    if contains_opaque(schema) or uses_dynamic_scope(schema):
+        # opaque passthrough: skip ref relocation too — its resolver
+        # works against the document root and a dynamic-scope doc's
+        # pointers may be based in a nested $id resource
+        return Normalizer(schema).normalize()
     return Normalizer(_relocate_relative_refs(schema)).normalize()
 
 

@@ -18,9 +18,10 @@ corpus carries no authority of its own; it is a coverage map.
 Excluded, with reasons, mirroring the dialect's documented divergences:
 - format / content*: the dialect asserts them (fences
   json_schema/parse.py:134-171); the suite treats them as annotations.
-- $id / $anchor / $dynamicRef / remote refs: out of scope for the
-  dialect (reference Coverage.blacklist,
-  test_json_schema_test_suite.py:245-276).
+- remote refs / $vocabulary: out of scope for the dialect (reference
+  Coverage.blacklist, test_json_schema_test_suite.py:245-276).
+  $anchor / $dynamicRef / in-document $id moved IN scope in round 3b
+  (jsts_corpus_ext.py, anchor.json + dynamicRef.json).
 
 Run: python scripts/build_jsts_corpus.py   (idempotent)
 """

@@ -42,12 +42,15 @@ def _load(fname):
 
 
 def test_corpus_present():
-    """Suite-complete run (round 3): 40 files / 770 cases — every
-    in-scope draft2020-12 suite file exists (the blacklisted ones and
-    why: scripts/jsts_corpus_ext.py module docstring), each run
-    through 4 assertions (arbitration + 3 engine tiers)."""
-    assert len(CORPUS_FILES) >= 40
-    assert sum(len(s["tests"]) for f in CORPUS_FILES for s in _load(f)) >= 770
+    """Suite-complete run (round 3): 42 files / 799 cases — every
+    in-scope draft2020-12 suite file exists INCLUDING anchor.json and
+    dynamicRef.json (in scope since round 3b, beyond the reference's
+    own blacklist; the remaining exclusions and why:
+    scripts/jsts_corpus_ext.py module docstring), each run through 4
+    assertions (arbitration + 3 engine tiers)."""
+    assert len(CORPUS_FILES) >= 42
+    assert {"anchor.json", "dynamicRef.json"} <= set(CORPUS_FILES)
+    assert sum(len(s["tests"]) for f in CORPUS_FILES for s in _load(f)) >= 799
 
 
 @pytest.mark.parametrize("fname", CORPUS_FILES)
