@@ -42,15 +42,15 @@ def _load(fname):
 
 
 def test_corpus_present():
-    """Suite-complete run (round 3): 42 files / 799 cases — every
-    in-scope draft2020-12 suite file exists INCLUDING anchor.json and
-    dynamicRef.json (in scope since round 3b, beyond the reference's
-    own blacklist; the remaining exclusions and why:
-    scripts/jsts_corpus_ext.py module docstring), each run through 4
-    assertions (arbitration + 3 engine tiers)."""
-    assert len(CORPUS_FILES) >= 42
-    assert {"anchor.json", "dynamicRef.json"} <= set(CORPUS_FILES)
-    assert sum(len(s["tests"]) for f in CORPUS_FILES for s in _load(f)) >= 799
+    """Suite-complete run (round 3): 43 files / 802 cases — every
+    in-scope draft2020-12 suite file exists INCLUDING anchor.json,
+    dynamicRef.json, and unknownKeyword.json (in scope since round 3b,
+    beyond the reference's own blacklist; the remaining exclusions and
+    why: scripts/jsts_corpus_ext.py module docstring), each run
+    through 4 assertions (arbitration + 3 engine tiers)."""
+    assert len(CORPUS_FILES) >= 43
+    assert {"anchor.json", "dynamicRef.json", "unknownKeyword.json"} <= set(CORPUS_FILES)
+    assert sum(len(s["tests"]) for f in CORPUS_FILES for s in _load(f)) >= 802
 
 
 @pytest.mark.parametrize("fname", CORPUS_FILES)
