@@ -111,6 +111,69 @@ WHERE NOT (props IS NOT NULL AND json_valid(props) AND json_type(props::JSON) = 
 """
 
 
+_STRICT_TREE = {
+    # the draft-2020-12 strict-tree shape: $dynamicRef re-binds the
+    # recursion target to the OUTERMOST $dynamicAnchor, so every nested
+    # node — not just the root — picks up unevaluatedProperties: false.
+    # A plain $ref (or the bookend-less static resolution) would accept
+    # the misspelled key at depth; only dynamic-scope resolution
+    # rejects it.  Compiles on the Arrow tier by design
+    # (evaluator.uses_dynamic_scope routes it there).
+    "$id": "https://fences-spark.test/strict-tree",
+    "$dynamicAnchor": "node",
+    "$ref": "tree",
+    "unevaluatedProperties": False,
+    "$defs": {
+        "tree": {
+            "$id": "tree",
+            "$dynamicAnchor": "node",
+            "type": "object",
+            "properties": {
+                "data": {"type": "number"},
+                "children": {"type": "array", "items": {"$dynamicRef": "#node"}},
+            },
+        }
+    },
+}
+
+
+def q_validate_dynamic_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$dynamicRef validation as a driver query (SURVEY.md §2.A, round
+    3b): build a deterministic depth-2 JSON tree per document, plant
+    two defect classes at the DEEPEST node — a misspelled key
+    (doc_id % 7 == 3; only dynamic-scope resolution of the strict-tree
+    schema sees it, because unevaluatedProperties lives on the outer
+    resource) and a non-array children (doc_id % 11 == 5) — validate
+    with the compiled schema, and return the invalid doc_ids.  The
+    DuckDB oracle recomputes the planted-defect rule."""
+    from fences_spark.compiler.jsonvalue import compile_json
+
+    docs = _t(spark, sf_dir, "documents")
+    leaf = F.when(F.col("doc_id") % 7 == 3, F.lit('{"daat": 3}')).otherwise(
+        F.lit('{"data": 3}')
+    )
+    grandkids = F.when(F.col("doc_id") % 11 == 5, F.lit("9")).otherwise(
+        F.concat(F.lit("["), leaf, F.lit("]"))
+    )
+    tree = F.concat(
+        F.lit('{"data": 1, "children": [{"data": 2, "children": '),
+        grandkids,
+        F.lit("}]}"),
+    )
+    pred, tier = compile_json(_STRICT_TREE, tree)
+    assert tier == "arrow_udf", tier  # dynamic scope → Arrow tier
+    return (
+        docs.select("doc_id", pred.alias("ok"))
+        .filter(~F.col("ok"))
+        .select("doc_id")
+    )
+
+
+SQL_VALIDATE_DYNAMIC_TREE = """
+SELECT doc_id FROM documents WHERE doc_id % 7 = 3 OR doc_id % 11 = 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational operator coverage (SURVEY.md §2.B)
 # ---------------------------------------------------------------------------
@@ -3326,6 +3389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_documents": q_sample_documents,
     "validate_documents": q_validate_documents,
     "violations_events_props": q_violations_events_props,
+    "validate_dynamic_tree": q_validate_dynamic_tree,
     "q1_pricing_summary": q1_pricing_summary,
     "join_customer_orders": q_join_customer_orders,
     "orphan_orders": q_orphan_orders,
@@ -3407,6 +3471,7 @@ ORACLE_SQL: dict[str, str] = {
     "sample_documents": SQL_SAMPLE_DOCUMENTS,
     "validate_documents": SQL_VALIDATE_DOCUMENTS,
     "violations_events_props": SQL_VIOLATIONS_EVENTS_PROPS,
+    "validate_dynamic_tree": SQL_VALIDATE_DYNAMIC_TREE,
     "q1_pricing_summary": SQL_Q1,
     "join_customer_orders": SQL_JOIN_CUSTOMER_ORDERS,
     "orphan_orders": SQL_ORPHAN_ORDERS,
