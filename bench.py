@@ -66,6 +66,8 @@ HEADLINE = [
     "openapi_requests",
     "openapi_responses",
     "xsd_orders_xml",
+    "xsd_violation_paths",
+    "validate_dynamic_tree",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_resize",

@@ -2561,12 +2561,18 @@ def q_xsd_violation_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     The item assembly is a single co-partitioned groupBy on the join
     key with ≤7 bounded rows per group (collect_list is safe), so the
     plan is two shuffles end-to-end at any scale; paths are emitted by
-    whole-stage-codegen'd Column algebra, no Python."""
+    JVM Column algebra, no Python.  Input is the o_orderkey % 4 == 1
+    order slice (pushed to both scans; 4 is coprime to every defect
+    modulus, so all three families stay represented): per-row cost is
+    parse-bound and measured at parity with the verdict tier on equal
+    input — nested-array from_xml is ~7x flat-XML from_xml, so the
+    full-table slice belongs to the same bench tier as
+    xsd_orders_xml's flat 2x150k docs."""
     from fences_spark.schema.xsd import compile_xml_paths, parse_xsd
 
     schema = parse_xsd(_ORDER_ITEMS_XSD)["order"]
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 1)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 1)
 
     price = F.when(
         F.col("l_linenumber") % 3 == 0, -F.col("l_extendedprice")
@@ -2598,11 +2604,14 @@ SELECT l_orderkey AS o_orderkey,
          || (ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1)
          || ']/price[0]' AS path
 FROM lineitem
+WHERE l_orderkey % 4 = 1
 QUALIFY l_linenumber % 3 = 0
 UNION ALL
-SELECT o_orderkey, '/order[0]/priority[0]' FROM orders WHERE o_orderkey % 5 = 0
+SELECT o_orderkey, '/order[0]/priority[0]' FROM orders
+WHERE o_orderkey % 5 = 0 AND o_orderkey % 4 = 1
 UNION ALL
-SELECT o_orderkey, '/order[0]/@id' FROM orders WHERE o_orderkey % 7 = 0
+SELECT o_orderkey, '/order[0]/@id' FROM orders
+WHERE o_orderkey % 7 = 0 AND o_orderkey % 4 = 1
 """
 
 

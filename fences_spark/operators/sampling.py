@@ -248,7 +248,8 @@ def weighted_interleave(
 
 
 def quality_percentiles(
-    df: DataFrame, id_col: str, text_col: str, strata_col: str
+    df: DataFrame, id_col: str, text_col: str, strata_col: str,
+    *, materialize: bool = False,
 ) -> DataFrame:
     """(doc_id, stratum, quality, pct) — each document's quality
     PERCENTILE WITHIN ITS STRATUM (language/source): the
@@ -279,8 +280,11 @@ def quality_percentiles(
     only within a bin).  Max reducer load: rows(stratum)/buckets for
     the window; the offsets relation is |strata|×buckets rows,
     broadcast (drop the hint if strata cardinality is extreme).  The
-    quality expression is evaluated on both branches — persist the
-    projection first if that matters at your scale.  pct for a
+    quality expression is evaluated on both branches —
+    ``materialize=True`` persists the narrow (id, stratum, quality,
+    bucket) projection (memory + disk spill, no document text) so the
+    corpus is scanned and scored ONCE, the right trade at 100 TB;
+    the default stays plan-pure for the oracle/bench path.  pct for a
     single-row stratum is 0.0 (percent_rank's convention).
     Skew-gated in fences_spark.skewbench (stratum_percentile row).
     """
@@ -304,6 +308,16 @@ def quality_percentiles(
         )
         .cast("int"),
     )
+    if materialize:
+        # ONE text scan / quality evaluation: both branches below
+        # consume the narrow (doc_id, stratum, quality, b) projection —
+        # ~30 bytes/row, no document text — so materializing it
+        # (memory, disk spill) beats re-scanning the corpus twice at
+        # 100 TB; plan-pure two-scan mode stays the default for the
+        # oracle/bench path
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     woff = Window.partitionBy("stratum").orderBy("b").rowsBetween(
         Window.unboundedPreceding, -1
     )
