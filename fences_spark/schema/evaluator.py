@@ -318,6 +318,9 @@ class Evaluator:
         self._resources.setdefault(self._root_base, self.root)
         if isinstance(self.root, dict):
             self._base_of.setdefault(id(self.root), self._root_base)
+        # scope bookkeeping matters only when a second resource or a
+        # $dynamicAnchor exists; everything else resolves statically
+        self._scoped = len(self._resources) > 1 or bool(self._dyn_anchors)
 
     # -- $ref resolution: RFC 6901 pointers (like the reference's
     # JsonPointer, fences/json_schema/json_pointer.py:5-57), plus
@@ -393,6 +396,11 @@ class Evaluator:
         the innermost indexed resource.  All validation semantics live
         in ``_validate_inner``."""
         s = self.root if schema is None else schema
+        if not self._scoped:
+            # single-resource document, no $dynamicAnchor: the scope
+            # chain can never influence resolution — skip the
+            # bookkeeping on the hot path
+            return self._validate_inner(value, s, _depth)
         pushed = False
         if isinstance(s, dict):
             b = self._base_of.get(id(s))
