@@ -43,12 +43,14 @@ from fences_spark.schema.regex_dialect import compile_dialect_pattern, to_java_r
 # ---------------------------------------------------------------------------
 
 
-def json_eval_udf(schema: SchemaType) -> Any:
+def json_eval_udf(schema: SchemaType, resources: dict | None = None) -> Any:
     """Return a pandas UDF (boolean) evaluating ``schema`` over a JSON
-    string column.  The schema is captured in the closure and shipped
-    once per task, not per row; execution is one Python call per
-    Arrow batch."""
+    string column.  The schema (and any pre-registered external
+    resource documents) is captured in the closure and shipped once
+    per task, not per row; execution is one Python call per Arrow
+    batch."""
     schema_blob = json.dumps(schema)
+    resources_blob = json.dumps(resources or {})
     # snapshot the x- keyword plugin registry HERE, on the driver — the
     # executor worker that runs this UDF has an empty registry
     from fences_spark.compiler.plugins import snapshot
@@ -57,7 +59,11 @@ def json_eval_udf(schema: SchemaType) -> Any:
 
     @F.pandas_udf("boolean")
     def _eval(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        ev = Evaluator(json.loads(schema_blob), plugins=plugins)
+        ev = Evaluator(
+            json.loads(schema_blob),
+            plugins=plugins,
+            resources=json.loads(resources_blob),
+        )
         for s in batches:
             def one(x: Any) -> bool:
                 if x is None:
@@ -71,8 +77,10 @@ def json_eval_udf(schema: SchemaType) -> Any:
     return _eval
 
 
-def compile_json_udf(schema: SchemaType, col: Column) -> Column:
-    return json_eval_udf(schema)(col)
+def compile_json_udf(
+    schema: SchemaType, col: Column, resources: dict | None = None
+) -> Column:
+    return json_eval_udf(schema, resources)(col)
 
 
 # ---------------------------------------------------------------------------
@@ -186,7 +194,12 @@ class VariantCompiler:
             # recursing past the bound fall back to the Arrow tier
             if depth > _MAX_REF_DEPTH:
                 raise CompileError(f"$ref deeper than {_MAX_REF_DEPTH}: {s['$ref']}")
-            target = self.evaluator._resolve_ref(s["$ref"])
+            try:
+                target = self.evaluator._resolve_ref(s["$ref"])
+            except ValueError as e:
+                # e.g. a registered-external-resource ref: only the
+                # Arrow tier carries the resource registry
+                raise CompileError(str(e)) from e
             preds.append(self._compile(target, v, depth + 1))
         t = _tv(v)
         is_str = t == F.lit("STRING")
@@ -501,13 +514,21 @@ class VariantCompiler:
         return functools.reduce(operator.and_, preds)
 
 
-def compile_json(schema: SchemaType, col: Column) -> tuple[Column, str]:
+def compile_json(
+    schema: SchemaType, col: Column, resources: dict | None = None
+) -> tuple[Column, str]:
     """Compile a schema against a JSON-text column.  Returns
     ``(predicate, tier)`` with tier in {"variant", "arrow_udf"}.
+
+    ``resources`` pre-registers external schema documents (URI →
+    document) for cross-document $ref/$dynamicRef — resolved from the
+    registry, never fetched; such schemas compile on the Arrow tier.
 
     A malformed JSON cell is invalid; a SQL-NULL cell is evaluated as
     JSON null (consistent with the typed compiler)."""
     try:
+        if resources:
+            raise CompileError("external resource registry: Arrow tier")
         schema = lower_unevaluated(schema)
         v = F.try_parse_json(col)
         pred = VariantCompiler(schema).compile(v)
@@ -519,4 +540,4 @@ def compile_json(schema: SchemaType, col: Column) -> tuple[Column, str]:
         )
         return full, "variant"
     except CompileError:
-        return compile_json_udf(schema, col), "arrow_udf"
+        return compile_json_udf(schema, col, resources), "arrow_udf"

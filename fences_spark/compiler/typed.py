@@ -145,7 +145,11 @@ class TypedCompiler:
         if "$ref" in s:
             if depth > self.max_ref_depth:
                 raise CompileError(f"$ref deeper than {self.max_ref_depth}: {s['$ref']}")
-            target = self.evaluator._resolve_ref(s["$ref"])
+            try:
+                target = self.evaluator._resolve_ref(s["$ref"])
+            except ValueError as e:
+                # registered-external-resource refs live on the Arrow tier
+                raise CompileError(str(e)) from e
             preds.append(self._compile_nonnull_dispatch(target, col, dtype, depth + 1))
 
         # ---- type: decided at compile time from the Spark dtype ----

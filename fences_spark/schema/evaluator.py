@@ -249,8 +249,20 @@ class Evaluator:
 
     MAX_DEPTH = 64
 
-    def __init__(self, root: SchemaType, plugins: dict | None = None):
+    def __init__(
+        self,
+        root: SchemaType,
+        plugins: dict | None = None,
+        resources: dict[str, SchemaType] | None = None,
+    ) -> None:
         self.root = root
+        # pre-registered external schema documents (URI → document):
+        # the sandboxed analog of remote $ref resolution — documents
+        # are supplied up front (like jsonschema's referencing
+        # Registry), never fetched.  Their $ids/anchors/dynamicAnchors
+        # index under their own base URIs, so cross-document $ref and
+        # $dynamicRef work; an unregistered URI still raises.
+        self._extra_resources = dict(resources or {})
         # freeze the plugin registry into this instance: on the driver
         # the current registry is snapshotted; executor-side
         # constructors (inside UDFs) must pass the snapshot captured in
@@ -318,6 +330,14 @@ class Evaluator:
         self._resources.setdefault(self._root_base, self.root)
         if isinstance(self.root, dict):
             self._base_of.setdefault(id(self.root), self._root_base)
+        for uri, doc in self._extra_resources.items():
+            if isinstance(doc, dict):
+                # the registry key is the retrieval URI; the document's
+                # own $id (if any) registers too via the walk
+                self._resources.setdefault(uri, doc)
+                walk(doc, uri)
+            else:
+                self._resources.setdefault(uri, doc)
         # scope bookkeeping matters only when a second resource or a
         # $dynamicAnchor exists; everything else resolves statically
         self._scoped = len(self._resources) > 1 or bool(self._dyn_anchors)
