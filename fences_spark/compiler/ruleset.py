@@ -49,32 +49,43 @@ class Rule:
     column: str
     schema: SchemaType
     mode: str = "typed"
+    # pre-registered external schema documents (URI → document) for
+    # cross-document $ref/$dynamicRef — see schema.evaluator.Evaluator;
+    # shipped to executors inside the Arrow UDF closure
+    resources: dict | None = None
 
     def compile(self, df: DataFrame) -> tuple[Column, str]:
         col = df[self.column]
         if self.mode == "json":
-            return compile_json(self.schema, col)
+            return compile_json(self.schema, col, self.resources)
         if self.mode == "xml":
             from fences_spark.schema.xsd import compile_xml
 
             return compile_xml(self.schema, col)
         dtype = df.schema[self.column].dataType
+        if self.resources:
+            # registry refs resolve only on the Arrow tier; skip the
+            # typed attempt (its evaluator would lack the registry)
+            return self._typed_arrow_fallback(col, dtype)
         try:
             return TypedCompiler(self.schema).compile(col, dtype), "typed"
         except CompileError:
-            # fall back: serialize the cell to JSON text and run the
-            # Arrow-vectorized evaluator (still no per-row Python).
-            # to_json(named_struct) would drop null fields, so encode
-            # the cell itself: strings via to_json of a one-element
-            # array (then the schema is lifted over prefixItems).
-            from pyspark.sql import types as T
+            return self._typed_arrow_fallback(col, dtype)
 
-            if isinstance(dtype, T.StringType):
-                jcol = F.to_json(F.array(col))
-                lifted = {"prefixItems": [self.schema]}
-                # null cell → "[null]" → prefixItems applies schema to null
-                return compile_json_udf(lifted, jcol), "arrow_udf"
-            return compile_json_udf(self.schema, F.to_json(col)), "arrow_udf"
+    def _typed_arrow_fallback(self, col: Column, dtype: Any) -> tuple[Column, str]:
+        # fall back: serialize the cell to JSON text and run the
+        # Arrow-vectorized evaluator (still no per-row Python).
+        # to_json(named_struct) would drop null fields, so encode
+        # the cell itself: strings via to_json of a one-element
+        # array (then the schema is lifted over prefixItems).
+        from pyspark.sql import types as T
+
+        if isinstance(dtype, T.StringType):
+            jcol = F.to_json(F.array(col))
+            lifted = {"prefixItems": [self.schema]}
+            # null cell → "[null]" → prefixItems applies schema to null
+            return compile_json_udf(lifted, jcol, self.resources), "arrow_udf"
+        return compile_json_udf(self.schema, F.to_json(col), self.resources), "arrow_udf"
 
 
 @dataclass
@@ -137,8 +148,15 @@ class ValidationResult:
 class RuleSet:
     rules: list[Rule] = field(default_factory=list)
 
-    def add(self, rule_id: str, column: str, schema: SchemaType, mode: str = "typed") -> "RuleSet":
-        self.rules.append(Rule(rule_id, column, schema, mode))
+    def add(
+        self,
+        rule_id: str,
+        column: str,
+        schema: SchemaType,
+        mode: str = "typed",
+        resources: dict | None = None,
+    ) -> "RuleSet":
+        self.rules.append(Rule(rule_id, column, schema, mode, resources))
         return self
 
     def apply(self, df: DataFrame) -> ValidationResult:

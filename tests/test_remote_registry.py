@@ -124,3 +124,28 @@ def test_spark_tier_ships_registry_to_executors(spark):
     # NULL cell evaluates as JSON null (invalid for integer); malformed
     # JSON is invalid
     assert got == [True, False, False, False]
+
+
+def test_ruleset_resources_json_and_typed_modes(spark):
+    from fences_spark.compiler.ruleset import RuleSet
+
+    df = spark.createDataFrame(
+        [(1, '{"n": 3}', "abc"), (2, '{"n": "x"}', None), (3, "oops", "z")],
+        "id long, cell string, s string",
+    )
+    rs = (
+        RuleSet()
+        .add("remote_obj", "cell",
+             {"type": "object",
+              "properties": {"n": {"$ref": BASE + "integer.json"}}},
+             mode="json", resources=REMOTE_DOCS)
+        .add("remote_str", "s",
+             {"anyOf": [{"type": "null"},
+                        {"$ref": BASE + "subSchemas.json#/$defs/integer"},
+                        {"type": "string", "minLength": 2}]},
+             mode="typed", resources=REMOTE_DOCS)
+    )
+    res = rs.apply(df)
+    assert res.tiers == {"remote_obj": "arrow_udf", "remote_str": "arrow_udf"}
+    rows = {r["id"]: (r["remote_obj"], r["remote_str"]) for r in res.df.collect()}
+    assert rows == {1: (True, True), 2: (False, True), 3: (False, False)}
