@@ -402,6 +402,67 @@ def q_drift_docs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_stats_distributed(cur, base)
 
 
+def q_divergence_docs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI / total-variation / Hellinger drift scores
+    (operators.drift.divergence_stats_distributed) on the same
+    current-vs-even-half histograms as drift_docs_stats — the
+    industry-standard PSI alongside the test-statistic pair, fully
+    distributed, decimal-exact sums."""
+    from fences_spark.operators.drift import (
+        categorical_histogram,
+        divergence_stats_distributed,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn("len_bucket", F.floor(F.col("n_chars") / 500).cast("string"))
+    cur = categorical_histogram(docs, "lang").unionByName(
+        categorical_histogram(docs, "len_bucket")
+    )
+    base_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    base = categorical_histogram(base_docs, "lang").unionByName(
+        categorical_histogram(base_docs, "len_bucket")
+    )
+    return divergence_stats_distributed(cur, base)
+
+
+SQL_DIVERGENCE_DOCS_STATS = """
+WITH d AS (
+  SELECT doc_id, COALESCE(lang, '<null>') AS lang,
+         COALESCE(CAST((n_chars // 500) AS VARCHAR), '<null>') AS len_bucket
+  FROM documents
+), cur AS (
+  SELECT 'lang' AS dim, lang AS bucket, COUNT(*) AS c_cnt FROM d GROUP BY 2
+  UNION ALL
+  SELECT 'len_bucket', len_bucket, COUNT(*) FROM d GROUP BY 2
+), base AS (
+  SELECT 'lang' AS dim, lang AS bucket, COUNT(*) AS b_cnt FROM d WHERE doc_id % 2 = 0 GROUP BY 2
+  UNION ALL
+  SELECT 'len_bucket', len_bucket, COUNT(*) FROM d WHERE doc_id % 2 = 0 GROUP BY 2
+), j AS (
+  SELECT COALESCE(cur.dim, base.dim) AS dim,
+         COALESCE(cur.bucket, base.bucket) AS bucket,
+         COALESCE(c_cnt, 0) AS c_cnt, COALESCE(b_cnt, 0) AS b_cnt
+  FROM cur FULL OUTER JOIN base ON cur.dim = base.dim AND cur.bucket = base.bucket
+), t AS (
+  SELECT dim,
+         c_cnt * 1.0 / SUM(c_cnt) OVER (PARTITION BY dim) AS p_c,
+         b_cnt * 1.0 / SUM(b_cnt) OVER (PARTITION BY dim) AS p_b,
+         SUM(c_cnt) OVER (PARTITION BY dim) AS n_c,
+         SUM(b_cnt) OVER (PARTITION BY dim) AS n_b
+  FROM j
+)
+SELECT dim,
+       ROUND(SUM(CAST((GREATEST(p_c, 1e-6) - GREATEST(p_b, 1e-6))
+                      * LN(GREATEST(p_c, 1e-6) / GREATEST(p_b, 1e-6))
+                      AS DECIMAL(28,18)))::DOUBLE, 6) AS psi,
+       ROUND((SUM(CAST(ABS(p_c - p_b) AS DECIMAL(28,18))) / 2)::DOUBLE, 6) AS tvd,
+       ROUND(SQRT(GREATEST(0.0, 1.0 - SUM(CAST(SQRT(p_c * p_b) AS DECIMAL(28,18)))::DOUBLE)), 6) AS hellinger,
+       MAX(n_c)::BIGINT AS n_current,
+       MAX(n_b)::BIGINT AS n_baseline
+FROM t GROUP BY dim
+"""
+
+
 SQL_DRIFT_DOCS_STATS = """
 WITH d AS (
   SELECT doc_id, COALESCE(lang, '<null>') AS lang,
@@ -3409,6 +3470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_key_count": q_dedup_key_count,
     "lang_histogram": q_lang_histogram,
     "drift_docs_stats": q_drift_docs_stats,
+    "divergence_docs_stats": q_divergence_docs_stats,
     "topk_events_per_user": q_topk_events_per_user,
     "set_ops_customers": q_set_ops_customers,
     "events_json_props": q_events_json_props,
@@ -3491,6 +3553,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_key_count": SQL_DEDUP_KEY_COUNT,
     "lang_histogram": SQL_LANG_HISTOGRAM,
     "drift_docs_stats": SQL_DRIFT_DOCS_STATS,
+    "divergence_docs_stats": SQL_DIVERGENCE_DOCS_STATS,
     "topk_events_per_user": SQL_TOPK_EVENTS_PER_USER,
     "set_ops_customers": SQL_SET_OPS_CUSTOMERS,
     "events_json_props": SQL_EVENTS_JSON_PROPS,

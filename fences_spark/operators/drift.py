@@ -254,3 +254,63 @@ def drift_stats_distributed(cur_hist: DataFrame, base_hist: DataFrame) -> DataFr
         )
         .withColumn("chi2_stat", round6(F.col("chi2_stat")))
     )
+
+
+def divergence_stats_distributed(
+    cur_hist: DataFrame, base_hist: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """PSI / total-variation / Hellinger drift scores, entirely in
+    Spark (same composition contract as drift_stats_distributed: no
+    driver collect, histograms may be arbitrarily wide).
+
+    Input: two (dim, bucket, cnt) histograms.  Output one row per dim:
+    (dim, psi, tvd, hellinger, n_current, n_baseline).
+
+      * PSI  = Σ (p'_c − p'_b)·ln(p'_c / p'_b), proportions clipped at
+        ``eps`` (the standard zero-bucket smoothing; industry rule of
+        thumb: <0.1 stable, 0.1–0.25 moderate, >0.25 major shift).
+      * TVD  = ½ Σ |p_c − p_b| — no smoothing needed, exact arithmetic.
+      * Hellinger = √(1 − Σ √(p_c·p_b)) ∈ [0, 1].
+
+    Cross-engine reproducibility: per-bucket terms are pure IEEE
+    arithmetic (division, sqrt are correctly rounded; ln agrees on
+    both engines' libm for these magnitudes), summed through DECIMAL
+    so the total is order-independent, then 6-dp rounded via round6.
+    (No reference precedent — fences has no drift notion; north-rule
+    component, BASELINE.json:6.)"""
+    c = cur_hist.select("dim", "bucket", F.col("cnt").alias("c_cnt"))
+    b = base_hist.select("dim", "bucket", F.col("cnt").alias("b_cnt"))
+    j = c.join(b, ["dim", "bucket"], "full_outer").fillna(0, ["c_cnt", "b_cnt"])
+    from pyspark.sql import Window as W
+
+    wd = W.partitionBy("dim")
+    t = (
+        j.withColumn("n_c", F.sum("c_cnt").over(wd))
+        .withColumn("n_b", F.sum("b_cnt").over(wd))
+        .withColumn("p_c", F.col("c_cnt") / F.col("n_c"))
+        .withColumn("p_b", F.col("b_cnt") / F.col("n_b"))
+    )
+    pc = F.greatest(F.col("p_c"), F.lit(eps))
+    pb = F.greatest(F.col("p_b"), F.lit(eps))
+    psi_term = (pc - pb) * F.log(pc / pb)
+    dec = "decimal(28,18)"
+    return (
+        t.groupBy("dim")
+        .agg(
+            round6(F.sum(psi_term.cast(dec)).cast("double")).alias("psi"),
+            round6(
+                (F.sum(F.abs(F.col("p_c") - F.col("p_b")).cast(dec)) / 2).cast("double")
+            ).alias("tvd"),
+            round6(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.lit(1.0)
+                        - F.sum(F.sqrt(F.col("p_c") * F.col("p_b")).cast(dec)).cast("double"),
+                    )
+                )
+            ).alias("hellinger"),
+            F.max("n_c").alias("n_current"),
+            F.max("n_b").alias("n_baseline"),
+        )
+    )

@@ -318,3 +318,49 @@ class TestEnsureParallelismConf:
                                    "doc_id long, text string").coalesce(1)
         out = ensure_parallelism(df, "doc_id")
         assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+class TestDivergence:
+    def test_divergence_known_histograms(self, spark):
+        """Hand-computable two-bucket case: current (3/4, 1/4) vs
+        baseline (1/2, 1/2)."""
+        import math
+
+        from fences_spark.operators.drift import divergence_stats_distributed
+
+        cur = spark.createDataFrame(
+            [("d", "a", 75), ("d", "b", 25)], "dim string, bucket string, cnt long"
+        )
+        base = spark.createDataFrame(
+            [("d", "a", 50), ("d", "b", 50)], "dim string, bucket string, cnt long"
+        )
+        row = divergence_stats_distributed(cur, base).collect()[0]
+        psi = (0.75 - 0.5) * math.log(0.75 / 0.5) + (0.25 - 0.5) * math.log(0.25 / 0.5)
+        tvd = 0.5 * (abs(0.75 - 0.5) + abs(0.25 - 0.5))
+        hell = math.sqrt(1 - (math.sqrt(0.75 * 0.5) + math.sqrt(0.25 * 0.5)))
+        assert row["psi"] == pytest.approx(psi, abs=1e-6)
+        assert row["tvd"] == pytest.approx(tvd, abs=1e-6)
+        assert row["hellinger"] == pytest.approx(hell, abs=1e-6)
+        assert (row["n_current"], row["n_baseline"]) == (100, 100)
+
+    def test_divergence_zero_on_identical(self, spark):
+        from fences_spark.operators.drift import divergence_stats_distributed
+
+        h = spark.createDataFrame(
+            [("d", "a", 10), ("d", "b", 30), ("d", "c", 60)],
+            "dim string, bucket string, cnt long",
+        )
+        row = divergence_stats_distributed(h, h).collect()[0]
+        assert row["psi"] == 0.0 and row["tvd"] == 0.0 and row["hellinger"] == 0.0
+
+    def test_divergence_disjoint_buckets_bounded(self, spark):
+        """Fully disjoint supports: TVD = 1, Hellinger = 1, PSI finite
+        (eps-clipped) and large."""
+        from fences_spark.operators.drift import divergence_stats_distributed
+
+        cur = spark.createDataFrame([("d", "a", 100)], "dim string, bucket string, cnt long")
+        base = spark.createDataFrame([("d", "b", 100)], "dim string, bucket string, cnt long")
+        row = divergence_stats_distributed(cur, base).collect()[0]
+        assert row["tvd"] == 1.0
+        assert row["hellinger"] == 1.0
+        assert 10 < row["psi"] < 60  # 2 * (1-1e-6) * ln(1e6) ≈ 27.6
