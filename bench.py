@@ -76,6 +76,8 @@ HEADLINE = [
     "files_verdicts_buckets",
     "files_violation_rows",
     "stream_files_verdicts",
+    "stream_drift_events",
+    "divergence_docs_stats",
     "decontaminate_docs",
     "redact_docs",
     "blocklist_docs",

@@ -425,6 +425,78 @@ def q_divergence_docs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return divergence_stats_distributed(cur, base)
 
 
+def q_stream_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor replayed over the static events table
+    (streaming/drift.py): watermarked 6-hour tumbling event_type
+    histograms finalize in append mode, each finalized window scored
+    against the full-table baseline histogram with PSI/TVD/Hellinger
+    inside foreachBatch, WAL-checkpointed sink read back as the
+    result.  Finalization contract (probed + oracle-pinned): a window
+    is emitted iff w_end <= max(ts) - delay.  Windows are
+    epoch-aligned; w_epoch (unix seconds) keeps the key
+    engine-portable."""
+    import os
+
+    from fences_spark.streaming.drift import DriftStreamConfig, start_drift_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    base = ev.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("<null>")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    work = _stream_workdir("drift", sf_dir)
+    src = os.path.join(work, "src")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    cfg = DriftStreamConfig(output_dir=work)
+    q = start_drift_stream(
+        stream, base, cfg, col="event_type", window_len="6 hours", delay="30 minutes"
+    )
+    q.awaitTermination()
+    return spark.read.parquet(cfg.drift_path).select(
+        "w_epoch", "psi", "tvd", "hellinger", "n_current", "n_baseline"
+    )
+
+
+SQL_STREAM_DRIFT_EVENTS = """
+WITH base AS (
+  SELECT COALESCE(event_type, '<null>') AS bucket, COUNT(*) AS b_cnt FROM events GROUP BY 1
+), nb AS (
+  SELECT SUM(b_cnt) AS n_b FROM base
+), cur AS (
+  SELECT (FLOOR(epoch(ts) / 21600) * 21600)::BIGINT AS w_epoch,
+         COALESCE(event_type, '<null>') AS bucket, COUNT(*) AS c_cnt
+  FROM events GROUP BY 1, 2
+), fin AS (
+  SELECT * FROM cur
+  WHERE w_epoch + 21600 <= (SELECT epoch(MAX(ts)) - 1800 FROM events)
+), grid AS (
+  SELECT w.w_epoch, base.bucket, base.b_cnt
+  FROM (SELECT DISTINCT w_epoch FROM fin) w CROSS JOIN base
+), j AS (
+  SELECT grid.w_epoch, grid.bucket, grid.b_cnt, COALESCE(fin.c_cnt, 0) AS c_cnt
+  FROM grid LEFT JOIN fin ON fin.w_epoch = grid.w_epoch AND fin.bucket = grid.bucket
+), t AS (
+  SELECT w_epoch,
+         c_cnt * 1.0 / SUM(c_cnt) OVER (PARTITION BY w_epoch) AS p_c,
+         b_cnt * 1.0 / (SELECT n_b FROM nb) AS p_b,
+         SUM(c_cnt) OVER (PARTITION BY w_epoch) AS n_c
+  FROM j
+)
+SELECT w_epoch,
+       ROUND(SUM(CAST((GREATEST(p_c, 1e-6) - GREATEST(p_b, 1e-6))
+                      * LN(GREATEST(p_c, 1e-6) / GREATEST(p_b, 1e-6))
+                      AS DECIMAL(28,18)))::DOUBLE, 6) AS psi,
+       ROUND((SUM(CAST(ABS(p_c - p_b) AS DECIMAL(28,18))) / 2)::DOUBLE, 6) AS tvd,
+       ROUND(SQRT(GREATEST(0.0, 1.0 - SUM(CAST(SQRT(p_c * p_b) AS DECIMAL(28,18)))::DOUBLE)), 6) AS hellinger,
+       MAX(n_c)::BIGINT AS n_current,
+       (SELECT n_b FROM nb)::BIGINT AS n_baseline
+FROM t GROUP BY w_epoch
+"""
+
+
 SQL_DIVERGENCE_DOCS_STATS = """
 WITH d AS (
   SELECT doc_id, COALESCE(lang, '<null>') AS lang,
@@ -3471,6 +3543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_histogram": q_lang_histogram,
     "drift_docs_stats": q_drift_docs_stats,
     "divergence_docs_stats": q_divergence_docs_stats,
+    "stream_drift_events": q_stream_drift_events,
     "topk_events_per_user": q_topk_events_per_user,
     "set_ops_customers": q_set_ops_customers,
     "events_json_props": q_events_json_props,
@@ -3554,6 +3627,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_histogram": SQL_LANG_HISTOGRAM,
     "drift_docs_stats": SQL_DRIFT_DOCS_STATS,
     "divergence_docs_stats": SQL_DIVERGENCE_DOCS_STATS,
+    "stream_drift_events": SQL_STREAM_DRIFT_EVENTS,
     "topk_events_per_user": SQL_TOPK_EVENTS_PER_USER,
     "set_ops_customers": SQL_SET_OPS_CUSTOMERS,
     "events_json_props": SQL_EVENTS_JSON_PROPS,

@@ -1,0 +1,113 @@
+"""Streaming distribution-drift monitor (north rule, BASELINE.json:6
+— drift "against a baseline snapshot", here as the Structured
+Streaming dual of operators.drift).
+
+Shape: a watermarked tumbling-window categorical histogram
+(`groupBy(window(ts), bucket).count()`, append mode — each window's
+counts finalize exactly once when the watermark passes its end), then
+``foreachBatch`` scores every finalized window against the STATIC
+baseline histogram with
+``operators.drift.divergence_stats_distributed`` (PSI / TVD /
+Hellinger) and appends one row per window to a WAL-checkpointed
+parquet sink.  Append-mode semantics guarantee all buckets of a
+window arrive in the same micro-batch (the whole window's state is
+emitted at one watermark crossing), so per-window scoring inside
+foreachBatch is exact.
+
+Scale notes: the stateful operator keeps one count per (window,
+bucket) — state is bounded by bucket cardinality × open windows, not
+rows; the divergence join per batch is (windows-in-batch × baseline
+buckets), both tiny.  The reference has no streaming (or drift)
+analog — SURVEY.md §2.B.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+@dataclass
+class DriftStreamConfig:
+    output_dir: str
+
+    @property
+    def drift_path(self) -> str:
+        return os.path.join(self.output_dir, "stream_drift")
+
+    @property
+    def drift_checkpoint(self) -> str:
+        return os.path.join(self.output_dir, "stream_drift_ckpt")
+
+
+def windowed_histogram(
+    stream_df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    col: str = "event_type",
+    window_len: str = "6 hours",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """(w_epoch, bucket, cnt) per finalized tumbling window — the
+    streaming histogram builder.  w_epoch is the window start in unix
+    seconds (epoch-aligned windows), engine-portable unlike rendered
+    timestamps."""
+    return (
+        stream_df.withWatermark(ts_col, delay)
+        .groupBy(
+            F.window(F.col(ts_col), window_len).alias("w"),
+            F.coalesce(F.col(col).cast("string"), F.lit("<null>")).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").cast("long").alias("w_epoch"), "bucket", "cnt")
+    )
+
+
+def start_drift_stream(
+    stream_df: DataFrame,
+    baseline_hist: DataFrame,
+    cfg: DriftStreamConfig,
+    *,
+    ts_col: str = "ts",
+    col: str = "event_type",
+    window_len: str = "6 hours",
+    delay: str = "30 minutes",
+) -> StreamingQuery:
+    """Score each finalized window's ``col`` distribution against
+    ``baseline_hist`` (a static (bucket, cnt) histogram — e.g. the
+    training-corpus snapshot) and append (w_epoch, psi, tvd,
+    hellinger, n_current, n_baseline) rows to the sink.  availableNow
+    so a replay drains in one epoch; WAL-checkpointed."""
+    from fences_spark.operators.drift import divergence_stats_distributed
+
+    base = baseline_hist.select(F.col("bucket").cast("string").alias("bucket"), "cnt")
+    hist = windowed_histogram(
+        stream_df, ts_col=ts_col, col=col, window_len=window_len, delay=delay
+    )
+
+    def score(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cur = batch.select(
+            F.col("w_epoch").cast("string").alias("dim"), "bucket", "cnt"
+        )
+        wins = batch.select("w_epoch").distinct().select(
+            F.col("w_epoch").cast("string").alias("dim")
+        )
+        rep_base = wins.crossJoin(F.broadcast(base).alias("b")).select("dim", "bucket", "cnt")
+        out = divergence_stats_distributed(cur, rep_base).select(
+            F.col("dim").cast("long").alias("w_epoch"),
+            "psi", "tvd", "hellinger", "n_current", "n_baseline",
+        )
+        out.write.mode("append").parquet(cfg.drift_path)
+
+    return (
+        hist.writeStream.outputMode("append")
+        .option("checkpointLocation", cfg.drift_checkpoint)
+        .foreachBatch(score)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -349,3 +349,49 @@ class TestStreamSessionizeEntry:
         # at least one open (non-finalized) trailing session exists,
         # so the finalization filter is actually exercised
         assert batch.count() > len(got)
+
+
+class TestStreamingDrift:
+    def test_windowed_divergence_and_finalization(self, spark, tmp_path_factory):
+        """Three 1-hour windows of event types: window 0 matches the
+        baseline exactly (psi = 0), window 1 is fully shifted (large
+        psi, tvd > 0), window 2 ends after the final watermark and
+        must NOT be emitted."""
+        import math
+
+        from fences_spark.streaming.drift import DriftStreamConfig, start_drift_stream
+
+        root = tmp_path_factory.mktemp("sdrift")
+        src = str(root / "src")
+        rows = []
+        # window 0 (12:00-13:00): 2 a + 2 b — identical to baseline
+        for i, et in enumerate(["a", "b", "a", "b"]):
+            rows.append((i, et, T0 + timedelta(minutes=i)))
+        # window 1 (13:00-14:00): all a — shifted
+        for i in range(4):
+            rows.append((10 + i, "a", T0 + timedelta(hours=1, minutes=i)))
+        # sentinel in window 2 (14:00-15:00) at 14:40: watermark =
+        # 14:40 - 30m = 14:10 ≥ window 1's end (14:00) → windows 0+1
+        # finalize; window 2 itself ends 15:00 > 14:10 → not emitted
+        rows.append((20, "b", T0 + timedelta(hours=2, minutes=40)))
+        df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+        df.coalesce(1).write.parquet(src)
+        base = spark.createDataFrame([("a", 50), ("b", 50)], "bucket string, cnt long")
+        cfg = DriftStreamConfig(output_dir=str(root / "out"))
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = start_drift_stream(
+            stream, base, cfg, col="event_type",
+            window_len="1 hour", delay="30 minutes",
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        out = {r["w_epoch"]: r for r in spark.read.parquet(cfg.drift_path).collect()}
+        assert len(out) == 2  # window 2 not finalized
+        w0, w1 = sorted(out)
+        assert out[w0]["psi"] == 0.0 and out[w0]["tvd"] == 0.0
+        # window 1: p_c = (1, 0) vs p_b = (0.5, 0.5) → tvd = 0.5,
+        # psi = (1-.5)ln(1/.5) + (1e-6-.5)ln(1e-6/.5) ≈ 6.906
+        assert out[w1]["tvd"] == 0.5
+        expect_psi = (1 - 0.5) * math.log(1 / 0.5) + (1e-6 - 0.5) * math.log(1e-6 / 0.5)
+        assert out[w1]["psi"] == pytest.approx(expect_psi, abs=1e-6)
+        assert out[w1]["n_current"] == 4 and out[w1]["n_baseline"] == 100
