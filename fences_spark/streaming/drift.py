@@ -101,7 +101,10 @@ def start_drift_stream(
         out = divergence_stats_distributed(cur, rep_base).select(
             F.col("dim").cast("long").alias("w_epoch"),
             "psi", "tvd", "hellinger", "n_current", "n_baseline",
-        )
+        ).withColumn("epoch_id", F.lit(epoch_id))
+        # append + epoch_id stamp, the streaming/validate.py sink
+        # contract: a failure-retry re-executes the epoch
+        # deterministically, and consumers dedup at the epoch grain
         out.write.mode("append").parquet(cfg.drift_path)
 
     return (
