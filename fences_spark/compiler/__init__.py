@@ -19,8 +19,10 @@ class CompileError(Exception):
 
 # in-place applicators whose subschema annotations feed unevaluated*;
 # their presence in the SAME schema object makes the lowering unsound
+# ($dynamicRef merges annotations exactly like $ref, evaluator.py)
 _INPLACE_FOR_PROPS = frozenset(
-    {"$ref", "allOf", "anyOf", "oneOf", "if", "then", "else", "dependentSchemas"}
+    {"$ref", "$dynamicRef", "allOf", "anyOf", "oneOf", "if", "then", "else",
+     "dependentSchemas"}
 )
 # contains additionally marks matched ITEMS evaluated (2020-12)
 _INPLACE_FOR_ITEMS = _INPLACE_FOR_PROPS | {"contains"}

@@ -35,7 +35,12 @@ from pyspark.sql import Column, functions as F
 
 from fences_spark.compiler import CompileError, lower_unevaluated
 from fences_spark.compiler.typed import _require_portable_regex
-from fences_spark.schema.evaluator import Evaluator, SchemaType, format_regex
+from fences_spark.schema.evaluator import (
+    Evaluator,
+    SchemaType,
+    format_regex,
+    uses_dynamic_scope,
+)
 from fences_spark.schema.regex_dialect import compile_dialect_pattern, to_java_regex
 
 # ---------------------------------------------------------------------------
@@ -194,12 +199,13 @@ class VariantCompiler:
             # recursing past the bound fall back to the Arrow tier
             if depth > _MAX_REF_DEPTH:
                 raise CompileError(f"$ref deeper than {_MAX_REF_DEPTH}: {s['$ref']}")
-            try:
-                target = self.evaluator._resolve_ref(s["$ref"])
-            except ValueError as e:
-                # e.g. a registered-external-resource ref: only the
-                # Arrow tier carries the resource registry
-                raise CompileError(str(e)) from e
+            # an unresolvable ref (typo'd anchor, unregistered URI)
+            # raises ValueError here and propagates: the Arrow tier
+            # would hit the same error per task, so failing fast at
+            # compile is strictly better (registry-backed schemas
+            # never reach this compiler — compile_json routes them
+            # to the Arrow tier before trying this tier)
+            target = self.evaluator._resolve_ref(s["$ref"])
             preds.append(self._compile(target, v, depth + 1))
         t = _tv(v)
         is_str = t == F.lit("STRING")
@@ -529,6 +535,11 @@ def compile_json(
     try:
         if resources:
             raise CompileError("external resource registry: Arrow tier")
+        if uses_dynamic_scope(schema):
+            # checked BEFORE lowering: the Arrow tier must receive the
+            # ORIGINAL schema (lower_unevaluated declines $dynamicRef
+            # beside unevaluated*, but route-first is belt and braces)
+            raise CompileError("dynamic-scope document: Arrow tier")
         schema = lower_unevaluated(schema)
         v = F.try_parse_json(col)
         pred = VariantCompiler(schema).compile(v)

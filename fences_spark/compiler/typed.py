@@ -145,11 +145,10 @@ class TypedCompiler:
         if "$ref" in s:
             if depth > self.max_ref_depth:
                 raise CompileError(f"$ref deeper than {self.max_ref_depth}: {s['$ref']}")
-            try:
-                target = self.evaluator._resolve_ref(s["$ref"])
-            except ValueError as e:
-                # registered-external-resource refs live on the Arrow tier
-                raise CompileError(str(e)) from e
+            # unresolvable refs raise ValueError and propagate —
+            # fail-fast at compile; registry-backed rules skip this
+            # compiler entirely (ruleset.Rule.compile)
+            target = self.evaluator._resolve_ref(s["$ref"])
             preds.append(self._compile_nonnull_dispatch(target, col, dtype, depth + 1))
 
         # ---- type: decided at compile time from the Spark dtype ----

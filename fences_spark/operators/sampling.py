@@ -283,9 +283,13 @@ def quality_percentiles(
     quality expression is evaluated on both branches —
     ``materialize=True`` persists the narrow (id, stratum, quality,
     bucket) projection (memory + disk spill, no document text) so the
-    corpus is scanned and scored ONCE, the right trade at 100 TB;
-    the default stays plan-pure for the oracle/bench path.  pct for a
-    single-row stratum is 0.0 (percent_rank's convention).
+    corpus is scanned and scored ONCE, the right trade at 100 TB for a
+    one-shot batch job.  The cache is NOT auto-released (there is no
+    sound point to unpersist inside a lazy plan): a long-lived session
+    calling this repeatedly owns the lifecycle —
+    ``spark.catalog.clearCache()`` between runs, or keep the plan-pure
+    default.  pct for a single-row stratum is 0.0 (percent_rank's
+    convention).
     Skew-gated in fences_spark.skewbench (stratum_percentile row).
     """
     from pyspark.sql import Window

@@ -274,12 +274,15 @@ class Evaluator:
         self._plugins = plugins
         # instance-depth recursion is bounded by the INPUT (schema
         # re-entry is capped separately by the no-progress guard), and
-        # the dynamic-scope wrapper costs one extra frame per nesting
-        # level — give deep-but-legitimate instances headroom in both
-        # driver and Arrow-worker processes (the test suite drives
-        # 240-level nesting; jsonschema itself needs a similar bump)
-        if sys.getrecursionlimit() < 20000:
-            sys.setrecursionlimit(20000)
+        # the scope wrapper costs one extra frame per nesting level —
+        # give deep-but-legitimate instances headroom in both driver
+        # and Arrow-worker processes (the test suite drives 240-level
+        # nesting ≈ 1000 frames).  Bounded at 4000, NOT higher: the
+        # limit also governs json.loads on hostile deep documents, and
+        # a huge limit trades a clean RecursionError for a C-stack
+        # segfault of the UDF worker
+        if sys.getrecursionlimit() < 4000:
+            sys.setrecursionlimit(4000)
         self._build_index()
         # dynamic scope: the chain of distinct schema RESOURCES entered
         # along the current evaluation path, outermost first — the
@@ -307,7 +310,12 @@ class Evaluator:
             if isinstance(rid, str) and rid:
                 base = urljoin(base, rid) if base else rid
                 self._resources.setdefault(base, node)
-            self._base_of[id(node)] = base
+            # first-write-wins like _resources/_anchors: a dict object
+            # reachable from two positions (e.g. the normalizer's
+            # opaque passthrough shares $defs dicts) keeps the base of
+            # its FIRST — original — position, so its anchors and its
+            # base stay consistent
+            self._base_of.setdefault(id(node), base)
             a = node.get("$anchor")
             if isinstance(a, str):
                 self._anchors.setdefault((base, a), node)

@@ -556,11 +556,16 @@ class Normalizer:
         self._memo: dict[str, str] = {}  # canonical-hash → def key (cycle-safe)
         self._in_progress: set[str] = set()
 
-    # resolve local pointer against the ORIGINAL root
+    # resolve local pointer against the ORIGINAL root (one cached
+    # resolver: Evaluator.__init__ walks the whole document to build
+    # its ref index, so a fresh instance per ref would make ref-heavy
+    # normalization O(refs × schema size))
     def _resolve_ref(self, ref: str) -> SchemaType:
-        from fences_spark.schema.evaluator import Evaluator
+        if not hasattr(self, "_ref_resolver"):
+            from fences_spark.schema.evaluator import Evaluator
 
-        return Evaluator(self.root)._resolve_ref(ref)
+            self._ref_resolver = Evaluator(self.root)
+        return self._ref_resolver._resolve_ref(ref)
 
     def normalize(self) -> dict:
         from fences_spark.schema.evaluator import uses_dynamic_scope

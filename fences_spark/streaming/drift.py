@@ -107,6 +107,16 @@ def start_drift_stream(
         # deterministically, and consumers dedup at the epoch grain
         out.write.mode("append").parquet(cfg.drift_path)
 
+    # pre-create the sink with its schema: a replay whose timestamps
+    # span less than window_len + delay finalizes NO window, so score
+    # never writes — readers must still find an (empty) sink, not a
+    # missing path
+    stream_df.sparkSession.createDataFrame(
+        [],
+        "w_epoch long, psi double, tvd double, hellinger double, "
+        "n_current long, n_baseline long, epoch_id long",
+    ).write.mode("append").parquet(cfg.drift_path)
+
     return (
         hist.writeStream.outputMode("append")
         .option("checkpointLocation", cfg.drift_checkpoint)

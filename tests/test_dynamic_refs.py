@@ -156,3 +156,50 @@ def test_unresolvable_refs_still_raise():
     ev = Evaluator({"$ref": "https://elsewhere.test/remote.json"})
     with pytest.raises(ValueError):
         ev.validate({})
+
+
+def test_unevaluated_beside_dynamicref_not_lowered(spark):
+    """Review regression: lower_unevaluated must treat $dynamicRef as
+    an in-place applicator — rewriting its sibling
+    unevaluatedProperties to additionalProperties flips verdicts
+    (the $dynamicRef target's properties count as evaluated)."""
+    import json
+
+    import jsonschema
+    from pyspark.sql import functions as F
+
+    from fences_spark.compiler import CompileError, lower_unevaluated
+    from fences_spark.compiler.jsonvalue import compile_json
+
+    schema = {
+        "$id": "https://x/root",
+        "type": "object",
+        "$dynamicRef": "#node",
+        "unevaluatedProperties": False,
+        "$defs": {"n": {"$dynamicAnchor": "node",
+                        "properties": {"a": {"type": "integer"}}}},
+    }
+    inst = {"a": 1}
+    assert jsonschema.Draft202012Validator(schema).is_valid(inst)
+    with pytest.raises(CompileError):
+        lower_unevaluated(schema)
+    pred, tier = compile_json(schema, F.lit(json.dumps(inst)))
+    assert tier == "arrow_udf"
+    assert spark.range(1).select(pred).collect()[0][0] is True
+
+
+def test_unresolvable_ref_fails_fast_at_compile(spark):
+    """A typo'd anchor / unregistered URI must error on the driver at
+    compile time, not per-task inside the Arrow UDF."""
+    from pyspark.sql import functions as F
+
+    from fences_spark.compiler.jsonvalue import compile_json
+    from fences_spark.compiler.typed import TypedCompiler
+
+    for bad in ({"$ref": "#tyop"}, {"$ref": "https://nowhere.test/x.json"}):
+        with pytest.raises(ValueError):
+            compile_json(bad, F.lit("1"))
+        with pytest.raises(ValueError):
+            from pyspark.sql import types as T
+
+            TypedCompiler(bad).compile(F.lit("1"), T.StringType())
