@@ -3680,7 +3680,14 @@ ORACLE_SQL: dict[str, str] = {
     "files_verdicts_buckets": SQL_FILES_VERDICTS_BUCKETS,
     "files_violation_rows": SQL_FILES_VIOLATION_ROWS,
     "stream_files_verdicts": SQL_STREAM_FILES_VERDICTS,
+    # The four rows-only exceptions (every other entry is value-hash
+    # gated):
     # validate_files_200k: rows-only (input is synthesized, not an sf table)
-    # multimodal_real_decode: rows-only (DuckDB cannot parse BMP/WAV payloads;
-    #   value correctness is pinned by tests/test_codecs.py local re-decode)
+    # multimodal_real_decode: rows-only (DuckDB cannot parse BMP/PNG/WAV
+    #   payloads; value correctness is pinned by tests/test_codecs.py
+    #   local re-decode)
+    # generate_confusion_fixtures / generate_cover_fixtures: rows-only
+    #   (distributed sample GENERATION has no SQL dual; exactness is
+    #   pinned by the in-suite confusion gate, tests/test_jsonschema_oracle.py
+    #   and tests/test_pathcover.py)
 }
