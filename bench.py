@@ -27,6 +27,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "join_customer_orders",
     "dedup_exact_documents",
+    "paragraph_dedup_docs",
     "dedup_key_count",
     "dup_key_exemplars",
     "stats_profile",

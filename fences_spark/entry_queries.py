@@ -254,6 +254,55 @@ FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey
 """
 
 
+def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (boilerplate removal —
+    operators.dedup.paragraph_dedup): a shared header paragraph is
+    planted on doc_id % 3 == 0 and a shared footer on doc_id % 5 == 0,
+    so only the first occurrence of each survives; each document's own
+    body stays unless it is itself a corpus-level duplicate.  The
+    DuckDB oracle recomputes first-occurrence-by-(doc_id, idx)
+    semantics exactly."""
+    from fences_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    ptext = F.concat_ws(
+        "\n\n",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("boilerplate header paragraph")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("standard footer paragraph")),
+    )
+    staged = docs.select("doc_id", ptext.alias("text"))
+    return paragraph_dedup(staged, "doc_id", "text")
+
+
+SQL_PARAGRAPH_DEDUP_DOCS = """
+WITH staged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'boilerplate header paragraph' || chr(10) || chr(10) ELSE '' END
+         || text
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || 'standard footer paragraph' ELSE '' END
+         AS ptext
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split(ptext, chr(10) || chr(10)), (c, i) -> (i - 1)::INT)) AS idx,
+         unnest(string_split(ptext, chr(10) || chr(10))) AS par
+  FROM staged
+), firsts AS (
+  SELECT par, MIN(ROW(doc_id, idx)) AS first FROM p GROUP BY par
+), k AS (
+  SELECT p.doc_id, p.idx, p.par,
+         (ROW(p.doc_id, p.idx) = f.first) AS keep
+  FROM p JOIN firsts f ON f.par = p.par
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_pars,
+       SUM(keep::INT)::BIGINT AS n_kept,
+       COALESCE(STRING_AGG(CASE WHEN keep THEN par END, chr(10) || chr(10) ORDER BY idx), '') AS clean_text
+FROM k GROUP BY doc_id
+"""
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy (SURVEY.md §2.B
     uniqueness; hash-groupBy dedup for training pipelines): groups
@@ -3541,6 +3590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_customer_orders": q_join_customer_orders,
     "orphan_orders": q_orphan_orders,
     "dedup_exact_documents": q_dedup_exact_documents,
+    "paragraph_dedup_docs": q_paragraph_dedup_docs,
     "dup_key_exemplars": q_dup_key_exemplars,
     "stats_profile": q_stats_profile,
     "profile_exact_orders": q_profile_exact_orders,
@@ -3625,6 +3675,7 @@ ORACLE_SQL: dict[str, str] = {
     "join_customer_orders": SQL_JOIN_CUSTOMER_ORDERS,
     "orphan_orders": SQL_ORPHAN_ORDERS,
     "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
+    "paragraph_dedup_docs": SQL_PARAGRAPH_DEDUP_DOCS,
     "dup_key_exemplars": SQL_DUP_KEY_EXEMPLARS,
     "stats_profile": SQL_STATS_PROFILE,
     "profile_exact_orders": SQL_PROFILE_EXACT_ORDERS,

@@ -552,3 +552,50 @@ def dup_span_stats(df: DataFrame, id_col: str, text_col: str, *, k: int = 5) -> 
         )
         .orderBy("doc_id")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str, text_col: str, *, sep: str = "\n\n"
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH-level exact dedup (CCNet/Gopher-style
+    boilerplate removal; no reference precedent — SURVEY.md §2.F):
+    every paragraph keeps only its globally FIRST occurrence, ordered
+    by (doc_id, paragraph index), and each document is reassembled
+    from its surviving paragraphs in original order.
+
+    Returns (doc_id, n_pars, n_kept, clean_text) for EVERY input doc —
+    a fully-boilerplate document survives with n_kept = 0 and an empty
+    clean_text.
+
+    Execution shape: one posexplode projection (narrow), one
+    map-side-combinable ``min(struct(doc_id, idx))`` aggregate per
+    paragraph hash, one equi-join back on the hash (sort-merge at
+    corpus scale; a hot boilerplate paragraph is ONE group in the
+    combiner and AQE splits any residual join skew), and one groupBy
+    to reassemble — no windows, no driver state."""
+    pars = df.select(
+        F.col(id_col).alias("doc_id"),
+        # \Q..\E: the separator is a literal, not a regex
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias("idx", "par"),
+    )
+    h = pars.withColumn("h", F.md5(F.col("par").cast("binary")))
+    firsts = h.groupBy("h").agg(F.min(F.struct("doc_id", "idx")).alias("first"))
+    kept = (
+        h.join(firsts, "h")
+        .withColumn(
+            "keep",
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("idx") == F.col("first.idx")),
+        )
+    )
+    surviving = F.filter(
+        F.array_sort(F.collect_list(F.struct("idx", "keep", "par"))),
+        lambda s: s.getField("keep"),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pars"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(surviving, lambda s: s.getField("par")), sep
+        ).alias("clean_text"),
+    )

@@ -1428,3 +1428,39 @@ def test_quota_and_percentile_equal_single_window_forms(spark):
     )
     want_p = {r["doc_id"]: (r["stratum"], r["quality"], r["pct"]) for r in naive_p.collect()}
     assert got_p == want_p
+
+
+class TestParagraphDedup:
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        from fences_spark.operators.dedup import paragraph_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha\n\nshared\n\nbeta"),
+                (2, "shared\n\ngamma"),       # 'shared' first seen in doc 1
+                (3, "shared"),                # fully boilerplate
+                (4, "gamma\n\ngamma"),        # intra-doc dup: 2nd copy dropped
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in paragraph_dedup(docs, "doc_id", "text").collect()}
+        assert len(out) == 4  # every doc survives, even fully-boilerplate
+        assert out[1]["clean_text"] == "alpha\n\nshared\n\nbeta"
+        assert (out[1]["n_pars"], out[1]["n_kept"]) == (3, 3)
+        assert out[2]["clean_text"] == "gamma" and out[2]["n_kept"] == 1
+        assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+        # 'gamma' was first seen in doc 2 (doc_id order), so doc 4 keeps none;
+        # and its own second copy is also a duplicate
+        assert out[4]["n_kept"] == 0 and out[4]["n_pars"] == 2
+
+    def test_separator_is_literal_not_regex(self, spark):
+        from fences_spark.operators.dedup import paragraph_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "a.b|x|a.b"), (2, "zzz")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in
+               paragraph_dedup(docs, "doc_id", "text", sep="|").collect()}
+        # '.' must not act as a regex dot; 'a.b' dedups against itself
+        assert out[1]["clean_text"] == "a.b|x"
+        assert (out[1]["n_pars"], out[1]["n_kept"]) == (3, 2)
