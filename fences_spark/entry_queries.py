@@ -504,12 +504,11 @@ def q_stream_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, base, cfg, col="event_type", window_len="6 hours", delay="30 minutes"
     )
     q.awaitTermination()
-    # dropDuplicates on the window key: a foreachBatch retry after a
-    # committed parquet write re-appends the same finalized rows
-    # (streaming/drift.py sink contract — dedup at read)
+    # no consumer-side dedup: the sink overwrites its own epoch_id=<n>
+    # partition on retry (streaming/drift.py sink contract), so the
+    # directory never holds duplicate finalized rows
     return (
         spark.read.parquet(cfg.drift_path)
-        .dropDuplicates(["w_epoch"])
         .select("w_epoch", "psi", "tvd", "hellinger", "n_current", "n_baseline")
     )
 

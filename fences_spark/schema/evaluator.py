@@ -42,6 +42,19 @@ _EMPTY: set = frozenset()  # type: ignore[assignment]
 def _reject_json_constant(name: str) -> None:
     raise ValueError(f"non-JSON constant: {name}")
 
+
+class SchemaDepthError(RuntimeError):
+    """A same-instance-location applicator/$ref chain exceeded
+    ``Evaluator.MAX_DEPTH`` — either a value-free ``$ref`` cycle
+    (``{"$ref": "#"}`` chains, undecidable) or a finite static
+    allOf/$ref tower deeper than the bound.  Deliberately NOT a
+    ``ValueError``: a ValueError means *this instance is invalid*
+    (malformed JSON), and conflating the two would let ``not`` flip a
+    too-deep verdict into a spurious *valid*.  Subclasses
+    RuntimeError so the Arrow UDF's malformed-JSON handler
+    (``except (ValueError, TypeError)``) never swallows it — the task
+    fails loudly with this message instead of mis-validating."""
+
 from fences_spark.schema.regex_dialect import compile_dialect_pattern
 
 SchemaType = Union[dict, bool]
@@ -467,10 +480,17 @@ class Evaluator:
             # in-place applicators) and resets to 0 on every descent
             # into a child value, so arbitrarily deep instances
             # validate exactly (parity past the compile tiers' unroll
-            # bound is property-tested in test_compilers.py) while a
-            # value-free $ref cycle ({"$ref": "#"} chains) still
-            # terminates as invalid rather than recursing forever
-            return False, _none, _none
+            # bound is property-tested in test_compilers.py).  Hitting
+            # the bound is a SCHEMA defect (value-free $ref cycle or a
+            # >MAX_DEPTH static tower), not an instance verdict —
+            # raise rather than return False, which `not` would flip
+            # into a spurious valid (jsonschema likewise raises
+            # RecursionError on $ref cycles)
+            raise SchemaDepthError(
+                f"applicator/$ref chain exceeds MAX_DEPTH={self.MAX_DEPTH} "
+                "at one instance location (value-free $ref cycle or "
+                "too-deep static schema tower)"
+            )
         if schema is None:
             schema = self.root
         if schema is True:

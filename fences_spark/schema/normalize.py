@@ -722,9 +722,27 @@ def _relocate_relative_refs(root: SchemaType) -> SchemaType:
     destination is not correct"), not a reference."""
     if not isinstance(root, dict):
         return root
+    from urllib.parse import urljoin
+
     from fences_spark.schema.evaluator import Evaluator
 
     resolver = Evaluator(root)
+    # A root-level $id makes URI-form refs to the SAME document legal
+    # ({"$id": "http://x/r.json", "$ref": "http://x/r.json#/…"}), but
+    # DNF output drops $id — canonicalize such refs to fragment-only
+    # form ("#/…") so they survive normalization (and then relocate
+    # like any other local pointer).  Refs based in a DIFFERENT
+    # resource stay untouched: they raise in the original evaluator
+    # too, so the validate-equivalence invariant holds either way.
+    _rid = root.get("$id")
+    root_base = _rid if isinstance(_rid, str) and _rid else ""
+
+    def canonical(ref: str) -> str:
+        uri, _, frag = ref.partition("#")
+        if uri and root_base and urljoin(root_base, uri) == root_base:
+            return "#" + frag
+        return ref
+
     relocated: dict[str, str] = {}
     new_defs: dict[str, Any] = {}
     existing = root.get("$defs") if isinstance(root.get("$defs"), dict) else {}
@@ -744,22 +762,29 @@ def _relocate_relative_refs(root: SchemaType) -> SchemaType:
             for k, v in node.items():
                 if k in ("enum", "const"):
                     out[k] = v
-                elif (
-                    k == "$ref"
-                    and isinstance(v, str)
-                    and v.startswith("#/")
-                    and not v.startswith("#/$defs/")
-                    # "#/" (any all-slash fragment) resolves to the root
-                    # like "#" — a root self-ref survives re-rooting by
-                    # construction and must NOT become a root copy
-                    and v[1:].lstrip("/") != ""
-                ):
-                    if v not in relocated:
-                        name = def_name(v)
-                        relocated[v] = name  # set BEFORE walking: cycle-safe
-                        new_defs[name] = None
-                        new_defs[name] = walk(resolver._resolve_ref(v))
-                    out[k] = f"#/$defs/{relocated[v]}"
+                elif k == "$ref" and isinstance(v, str):
+                    c = canonical(v)
+                    if (
+                        c.startswith("#/")
+                        and not c.startswith("#/$defs/")
+                        # "#/" (any all-slash fragment) resolves to the
+                        # root like "#" — a root self-ref survives
+                        # re-rooting by construction and must NOT
+                        # become a root copy
+                        and c[1:].lstrip("/") != ""
+                    ):
+                        if c not in relocated:
+                            name = def_name(c)
+                            relocated[c] = name  # set BEFORE walking: cycle-safe
+                            new_defs[name] = None
+                            new_defs[name] = walk(resolver._resolve_ref(c))
+                        out[k] = f"#/$defs/{relocated[c]}"
+                    else:
+                        # canonicalized form (fragment-only when the
+                        # ref's base IS the root resource) — the DNF
+                        # output drops $id, so the URI spelling would
+                        # dangle
+                        out[k] = c
                 else:
                     out[k] = walk(v)
             return out

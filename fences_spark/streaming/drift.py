@@ -8,11 +8,12 @@ counts finalize exactly once when the watermark passes its end), then
 ``foreachBatch`` scores every finalized window against the STATIC
 baseline histogram with
 ``operators.drift.divergence_stats_distributed`` (PSI / TVD /
-Hellinger) and appends one row per window to a WAL-checkpointed
-parquet sink.  Append-mode semantics guarantee all buckets of a
-window arrive in the same micro-batch (the whole window's state is
-emitted at one watermark crossing), so per-window scoring inside
-foreachBatch is exact.
+Hellinger) and writes one row per window to a WAL-checkpointed
+parquet sink, partitioned by epoch id with per-epoch overwrite so a
+foreachBatch retry is idempotent.  Append-mode semantics guarantee
+all buckets of a window arrive in the same micro-batch (the whole
+window's state is emitted at one watermark crossing), so per-window
+scoring inside foreachBatch is exact.
 
 Scale notes: the stateful operator keeps one count per (window,
 bucket) — state is bounded by bucket cardinality × open windows, not
@@ -101,21 +102,28 @@ def start_drift_stream(
         out = divergence_stats_distributed(cur, rep_base).select(
             F.col("dim").cast("long").alias("w_epoch"),
             "psi", "tvd", "hellinger", "n_current", "n_baseline",
-        ).withColumn("epoch_id", F.lit(epoch_id))
-        # append + epoch_id stamp, the streaming/validate.py sink
-        # contract: a failure-retry re-executes the epoch
-        # deterministically, and consumers dedup at the epoch grain
-        out.write.mode("append").parquet(cfg.drift_path)
+        )
+        # IDEMPOTENT per-epoch sink: every epoch owns the Hive-style
+        # partition directory epoch_id=<n>.  A foreachBatch retry
+        # re-runs with the SAME epoch id (checkpointed batch id) and
+        # overwrites only its own directory, so a retry after a
+        # committed write cannot leave duplicate rows — naive readers
+        # need no consumer-side dedup.  epoch_id surfaces to readers
+        # as a partition column via directory discovery.
+        out.write.mode("overwrite").parquet(
+            os.path.join(cfg.drift_path, f"epoch_id={epoch_id}")
+        )
 
-    # pre-create the sink with its schema: a replay whose timestamps
-    # span less than window_len + delay finalizes NO window, so score
-    # never writes — readers must still find an (empty) sink, not a
-    # missing path
+    # pre-create the sink with its schema (under the reserved
+    # epoch_id=-1 partition so the directory layout stays uniform): a
+    # replay whose timestamps span less than window_len + delay
+    # finalizes NO window, so score never writes — readers must still
+    # find an (empty) sink, not a missing path
     stream_df.sparkSession.createDataFrame(
         [],
         "w_epoch long, psi double, tvd double, hellinger double, "
-        "n_current long, n_baseline long, epoch_id long",
-    ).write.mode("append").parquet(cfg.drift_path)
+        "n_current long, n_baseline long",
+    ).write.mode("append").parquet(os.path.join(cfg.drift_path, "epoch_id=-1"))
 
     return (
         hist.writeStream.outputMode("append")

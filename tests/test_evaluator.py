@@ -179,3 +179,34 @@ CASES = [
 @pytest.mark.parametrize("schema,value,expected", CASES)
 def test_evaluator_cases(schema, value, expected):
     assert validate(value, schema) is expected, (schema, value)
+
+
+def test_depth_guard_raises_distinct_error():
+    """ADVICE r3: hitting the same-location no-progress bound is a
+    schema defect, not an instance verdict — it must raise
+    SchemaDepthError (never return False, which `not` would flip into
+    a spurious valid), and the error must NOT be a ValueError (the
+    Arrow UDF's malformed-JSON handler catches ValueError)."""
+    from fences_spark.schema.evaluator import Evaluator, SchemaDepthError
+
+    # value-free $ref cycle
+    with pytest.raises(SchemaDepthError):
+        Evaluator({"allOf": [{"$ref": "#"}]}).validate("x")
+    assert not issubclass(SchemaDepthError, (ValueError, TypeError))
+
+    # finite-but-too-deep static allOf tower: raises instead of
+    # silently mis-validating (and `not` cannot flip it)
+    deep: dict = {"type": "integer"}
+    for _ in range(80):
+        deep = {"allOf": [deep]}
+    with pytest.raises(SchemaDepthError):
+        Evaluator(deep).validate(3)
+    with pytest.raises(SchemaDepthError):
+        Evaluator({"not": deep}).validate(3)
+
+    # a tower inside the bound still validates exactly
+    ok: dict = {"type": "integer"}
+    for _ in range(40):
+        ok = {"allOf": [ok]}
+    assert Evaluator(ok).validate(3)
+    assert not Evaluator(ok).validate("s")

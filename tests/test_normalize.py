@@ -137,3 +137,44 @@ def test_recursive_ref_survives():
     ev = Evaluator(n)
     assert ev.validate([1, [2, [3]]])
     assert not ev.validate([1, ["x"]])
+
+
+def test_root_id_uri_form_refs_survive_normalize():
+    """ADVICE r3: a root-level $id with refs spelled in absolute-URI
+    form (``http://x/root.json#/...``) must keep the documented
+    invariant validate(v, S) == validate(v, normalize(S)) — DNF output
+    drops $id, so such refs are canonicalized to fragment form."""
+    from fences_spark.schema.evaluator import Evaluator, validate
+
+    cases = [
+        # pointer ref outside $defs (forces relocation)
+        {
+            "$id": "http://x/root.json",
+            "type": "object",
+            "properties": {
+                "a": {"$ref": "http://x/root.json#/properties/b"},
+                "b": {"type": "integer"},
+            },
+        },
+        # relative-URI spelling of the same base, $defs pointer
+        {
+            "$id": "http://x/root.json",
+            "properties": {"a": {"$ref": "root.json#/$defs/pos"}},
+            "$defs": {"pos": {"type": "number", "exclusiveMinimum": 0}},
+        },
+        # URI-form root self-ref (recursive)
+        {
+            "$id": "http://x/root.json",
+            "type": ["object", "integer"],
+            "properties": {"a": {"$ref": "http://x/root.json#"}},
+        },
+    ]
+    values = [
+        {"a": 1, "b": 2}, {"a": "s", "b": 2}, {"a": 1.5}, {"a": -1},
+        {"a": 3}, {"a": {"a": 5}}, {"a": {"a": "x"}}, 7, "nope",
+    ]
+    for s in cases:
+        n = normalize(s)
+        ev = Evaluator(n)
+        for v in values:
+            assert ev.validate(v) == validate(v, s), (s, v)

@@ -395,3 +395,44 @@ class TestStreamingDrift:
         expect_psi = (1 - 0.5) * math.log(1 / 0.5) + (1e-6 - 0.5) * math.log(1e-6 / 0.5)
         assert out[w1]["psi"] == pytest.approx(expect_psi, abs=1e-6)
         assert out[w1]["n_current"] == 4 and out[w1]["n_baseline"] == 100
+
+    def test_retry_idempotent_sink(self, spark, tmp_path_factory):
+        """A foreachBatch retry re-runs score() with the SAME epoch id
+        (checkpointed batch id); the per-epoch overwrite sink must
+        leave zero duplicate rows for a naive reader, and epoch_id
+        must surface as a single consistently-typed partition column."""
+        from fences_spark.streaming.drift import DriftStreamConfig, start_drift_stream
+
+        root = tmp_path_factory.mktemp("sdrift_retry")
+        src = str(root / "src")
+        rows = [(i, et, T0 + timedelta(minutes=i)) for i, et in enumerate(["a", "b", "a", "b"])]
+        rows.append((20, "b", T0 + timedelta(hours=2, minutes=40)))  # finalizes window 0
+        df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+        df.coalesce(1).write.parquet(src)
+        base = spark.createDataFrame([("a", 50), ("b", 50)], "bucket string, cnt long")
+        cfg = DriftStreamConfig(output_dir=str(root / "out"))
+
+        def run_once(ckpt_suffix: str = "") -> None:
+            stream = spark.readStream.schema(df.schema).parquet(src)
+            q = start_drift_stream(
+                stream, base, cfg, col="event_type",
+                window_len="1 hour", delay="30 minutes",
+            )
+            q.awaitTermination(120)
+            assert not q.isActive
+
+        run_once()
+        first = sorted(map(tuple, spark.read.parquet(cfg.drift_path)
+                           .select("w_epoch", "psi", "tvd").collect()))
+        assert len(first) == 1
+        # inject a "retry": wipe the checkpoint so the whole epoch
+        # re-executes against the already-written sink with epoch_id 0
+        import shutil
+        shutil.rmtree(cfg.drift_checkpoint)
+        run_once()
+        again = sorted(map(tuple, spark.read.parquet(cfg.drift_path)
+                           .select("w_epoch", "psi", "tvd").collect()))
+        assert again == first  # no duplicates, byte-equal rows
+        # epoch_id is a discoverable partition column of one type
+        sch = dict(spark.read.parquet(cfg.drift_path).dtypes)
+        assert "epoch_id" in sch
