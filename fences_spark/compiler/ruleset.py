@@ -72,6 +72,55 @@ class Rule:
         except CompileError:
             return self._typed_arrow_fallback(col, dtype)
 
+    def compile_pointers(self, df: DataFrame) -> tuple[Column, str]:
+        """Violation-pointer column (``array<struct<pointer,keyword>>``)
+        for this rule — the instance-side JSON-pointer diagnostics of
+        fences_spark.schema.pointers (vocabulary arbitrated against
+        jsonschema error paths; reference path model
+        fences/json_schema/json_pointer.py:5-57).  Tiering mirrors
+        :meth:`compile`: typed builtin first, Arrow fallback."""
+        from pyspark.sql import types as T
+
+        from fences_spark.compiler.pointers import (
+            compile_json_pointers,
+            compile_typed_pointers,
+            pointer_udf,
+        )
+
+        col = df[self.column]
+        if self.mode == "json":
+            return compile_json_pointers(self.schema, col, self.resources)
+        if self.mode == "xml":
+            raise CompileError(
+                "XML diagnostics use compile_xml_paths (XPath vocabulary)"
+            )
+        dtype = df.schema[self.column].dataType
+
+        def _arrow(c: Column, dt: Any) -> Column:
+            # same JSON-lift as _typed_arrow_fallback; entries come
+            # back rooted at the 1-element wrapper array — re-root
+            # "#/0…" → "#…"
+            if isinstance(dt, T.StringType):
+                lifted = {"prefixItems": [self.schema]}
+                raw = pointer_udf(lifted, self.resources)(F.to_json(F.array(c)))
+                return F.transform(
+                    raw,
+                    lambda e: F.struct(
+                        F.concat(
+                            F.lit("#"), F.substring(e.getField("pointer"), 4, 1 << 30)
+                        ).alias("pointer"),
+                        e.getField("keyword").alias("keyword"),
+                    ),
+                )
+            return pointer_udf(self.schema, self.resources)(F.to_json(c))
+
+        if self.resources:
+            return _arrow(col, dtype), "arrow_udf"
+        try:
+            return compile_typed_pointers(self.schema, col, dtype), "typed"
+        except CompileError:
+            return _arrow(col, dtype), "arrow_udf"
+
     def _typed_arrow_fallback(self, col: Column, dtype: Any) -> tuple[Column, str]:
         # fall back: serialize the cell to JSON text and run the
         # Arrow-vectorized evaluator (still no per-row Python).
@@ -183,6 +232,34 @@ class RuleSet:
         )
         out = out.withColumn("row_valid", all_ok).withColumn("violations", failed)
         return ValidationResult(out, rule_ids, tiers)
+
+    def pointers(self, df: DataFrame, *keep: str) -> DataFrame:
+        """Instance-side violation diagnostics: one row per (input
+        row, rule, violation location) — columns ``keep...`` +
+        ``rule_id`` + ``pointer`` (RFC 6901, ``#/a/b/0`` style) +
+        ``keyword`` (the failing constraint).  One narrow projection
+        + explode; rows with no violations vanish (inner explode)."""
+        cols = list(keep) if keep else df.columns
+
+        def _tag(rid: str):
+            # single-arg lambda factory: a 2-arg lambda (even with a
+            # default) would be treated as transform's (element, index)
+            # form, binding the array INDEX to the second parameter
+            return lambda e: F.struct(
+                F.lit(rid).alias("rule_id"),
+                e.getField("pointer").alias("pointer"),
+                e.getField("keyword").alias("keyword"),
+            )
+
+        per_rule = []
+        for r in self.rules:
+            entries, _tier = r.compile_pointers(df)
+            per_rule.append(F.transform(entries, _tag(r.rule_id)))
+        flat = F.flatten(F.array(*per_rule)) if per_rule else F.array()
+        return (
+            df.select(*cols, F.explode(flat).alias("_v"))
+            .select(*cols, "_v.rule_id", "_v.pointer", "_v.keyword")
+        )
 
     def describe(self) -> list[dict[str, Any]]:
         return [

@@ -174,6 +174,83 @@ SELECT doc_id FROM documents WHERE doc_id % 7 = 3 OR doc_id % 11 = 5
 """
 
 
+def q_json_violation_pointers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance-side violation diagnostics (SURVEY.md §2 diagnostics,
+    round 4): plant deterministic per-field defects over documents,
+    then emit one row per (doc, rule, violation location) via
+    RuleSet.pointers — (rule_id, RFC 6901 instance pointer, failing
+    keyword), the JSON dual of xsd_violation_paths.  Pointer/keyword
+    vocabulary is arbitrated against jsonschema error paths
+    (tests/test_pointers.py); path model per the reference's
+    JsonPointer (fences/json_schema/json_pointer.py:5-57).  Exercises
+    BOTH tiers: `code` compiles on the typed builtin tier (pure
+    Column expressions), `payload` on the Arrow JSON tier.  The
+    DuckDB oracle recomputes the planted-defect rule per modulus."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    code = (
+        F.when(d % 5 == 0, F.lit("X9"))
+        .when(d % 3 == 0, F.lit("a"))
+        .otherwise(F.lit("ab"))
+    )
+    size_part = F.when(d % 11 == 0, F.lit("")).otherwise(
+        F.when(d % 7 == 0, F.lit(',"size":-3')).otherwise(F.lit(',"size":5'))
+    )
+    tags_part = F.when(d % 13 == 0, F.lit(',"tags":["toolong"]')).otherwise(
+        F.lit(',"tags":["ok"]')
+    )
+    extra_part = F.when(d % 17 == 0, F.lit(',"zz":1')).otherwise(F.lit(""))
+    payload = F.when(d % 19 == 0, F.lit("{bad")).otherwise(
+        F.concat(F.lit('{"name":"ok"'), size_part, tags_part, extra_part, F.lit("}"))
+    )
+    staged = docs.select("doc_id", code.alias("code"), payload.alias("payload"))
+    rs = RuleSet()
+    rs.add(
+        "code_ok", "code",
+        {"type": "string", "pattern": "^[a-z]+$", "minLength": 2},
+    )
+    rs.add(
+        "payload_ok", "payload",
+        {
+            "type": "object",
+            "required": ["name", "size"],
+            "properties": {
+                "name": {"type": "string"},
+                "size": {"type": "integer", "minimum": 0},
+                "tags": {"type": "array",
+                         "items": {"type": "string", "maxLength": 3}},
+            },
+            "additionalProperties": False,
+        },
+        mode="json",
+    )
+    return rs.pointers(staged, "doc_id")
+
+
+SQL_JSON_VIOLATION_POINTERS = """
+SELECT doc_id, 'code_ok' AS rule_id, '#' AS pointer, 'pattern' AS keyword
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id, 'code_ok', '#', 'minLength'
+FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, 'payload_ok', '#', 'json'
+FROM documents WHERE doc_id % 19 = 0
+UNION ALL
+SELECT doc_id, 'payload_ok', '#', 'required'
+FROM documents WHERE doc_id % 11 = 0 AND doc_id % 19 <> 0
+UNION ALL
+SELECT doc_id, 'payload_ok', '#/size', 'minimum'
+FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0 AND doc_id % 19 <> 0
+UNION ALL
+SELECT doc_id, 'payload_ok', '#/tags/0', 'maxLength'
+FROM documents WHERE doc_id % 13 = 0 AND doc_id % 19 <> 0
+UNION ALL
+SELECT doc_id, 'payload_ok', '#', 'additionalProperties'
+FROM documents WHERE doc_id % 17 = 0 AND doc_id % 19 <> 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational operator coverage (SURVEY.md §2.B)
 # ---------------------------------------------------------------------------
@@ -3585,6 +3662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_documents": q_validate_documents,
     "violations_events_props": q_violations_events_props,
     "validate_dynamic_tree": q_validate_dynamic_tree,
+    "json_violation_pointers": q_json_violation_pointers,
     "q1_pricing_summary": q1_pricing_summary,
     "join_customer_orders": q_join_customer_orders,
     "orphan_orders": q_orphan_orders,
@@ -3670,6 +3748,7 @@ ORACLE_SQL: dict[str, str] = {
     "validate_documents": SQL_VALIDATE_DOCUMENTS,
     "violations_events_props": SQL_VIOLATIONS_EVENTS_PROPS,
     "validate_dynamic_tree": SQL_VALIDATE_DYNAMIC_TREE,
+    "json_violation_pointers": SQL_JSON_VIOLATION_POINTERS,
     "q1_pricing_summary": SQL_Q1,
     "join_customer_orders": SQL_JOIN_CUSTOMER_ORDERS,
     "orphan_orders": SQL_ORPHAN_ORDERS,

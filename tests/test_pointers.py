@@ -1,0 +1,338 @@
+"""Instance-side violation pointers (schema/pointers.py +
+compiler/pointers.py) — the JSON dual of the XSD violation paths.
+
+Arbitration: ``jsonschema.Draft202012Validator.iter_errors`` is the
+error-location oracle — every top-level ValidationError corresponds
+to one (pointer, keyword) pair as (absolute_path, validator).  The
+whole vendored JSTS corpus (802 cases) runs through the parity sweep;
+cases where jsonschema reports ``validator=None`` (bare-False
+subschemas — jsonschema's position for those is an implementation
+quirk, see schema/pointers.py docstring) are compared on our own
+pinned dialect instead.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import jsonschema
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from fences_spark.compiler import CompileError
+from fences_spark.compiler.pointers import (
+    TypedPointerCompiler,
+    compile_json_pointers,
+    compile_pointers,
+)
+from fences_spark.schema.evaluator import Evaluator, SchemaDepthError
+from fences_spark.schema.pointers import (
+    PointerCollector,
+    render_pointer,
+    violation_pointers,
+)
+
+CORPUS_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "jsts", "draft2020-12")
+CORPUS_FILES = sorted(
+    os.path.basename(p) for p in glob.glob(os.path.join(CORPUS_DIR, "*.json"))
+)
+
+
+def _load(fname):
+    with open(os.path.join(CORPUS_DIR, fname)) as f:
+        return json.load(f)
+
+
+def _js_pairs(schema, inst):
+    """jsonschema top-level errors as sorted (pointer, validator)
+    pairs; None when any error has validator None (False-schema quirk
+    — jsonschema's location for those is implementation-defined)."""
+    out = set()
+    for e in jsonschema.Draft202012Validator(schema).iter_errors(inst):
+        if e.validator is None:
+            return None
+        toks = [str(x).replace("~", "~0").replace("/", "~1") for x in e.absolute_path]
+        out.add(("#" if not toks else "#/" + "/".join(toks), str(e.validator)))
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# render + dialect pinning
+# ---------------------------------------------------------------------------
+
+def test_render_pointer():
+    assert render_pointer(()) == "#"
+    assert render_pointer(("a", "0")) == "#/a/0"
+    # RFC 6901 escaping, reference JsonPointer style
+    assert render_pointer(("a~b", "c/d")) == "#/a~0b/c~1d"
+
+
+def test_false_schema_dialect():
+    """Dialect choice (pinned): a False schema errors at the instance
+    location it rejects, keyword 'false'."""
+    assert violation_pointers({"a": 1}, {"properties": {"a": False}}) == [("#/a", "false")]
+    assert violation_pointers([5], {"prefixItems": [False]}) == [("#/0", "false")]
+    assert violation_pointers(3, False) == [("#", "false")]
+
+
+def test_depth_guard_propagates():
+    with pytest.raises(SchemaDepthError):
+        violation_pointers("x", {"allOf": [{"$ref": "#"}]})
+
+
+def test_consistency_invariant_quick():
+    """errors(v) == [] iff validate(v) — the collector never invents
+    or misses a verdict."""
+    schemas = [
+        {"type": "object", "required": ["a"], "properties": {"a": {"minimum": 0}}},
+        {"anyOf": [{"type": "string"}, {"contains": {"const": 1}}]},
+        {"unevaluatedProperties": False, "properties": {"a": True}},
+        {"not": {"enum": [3]}},
+        {"if": {"type": "number"}, "then": {"multipleOf": 2}, "else": {"minLength": 2}},
+    ]
+    values = [None, True, 3, 4, "x", "ab", [1], [2], {"a": 1}, {"a": -1, "b": 2}, {}]
+    for s in schemas:
+        ev = Evaluator(s)
+        pc = PointerCollector(s)
+        for v in values:
+            assert (pc.errors(v) == []) == ev.validate(v), (s, v)
+
+
+# ---------------------------------------------------------------------------
+# jsonschema parity — fixed probes for every vocabulary rule
+# ---------------------------------------------------------------------------
+
+FIXED_CASES = [
+    ({"type": "object", "properties": {"a": {"type": "integer"},
+      "b": {"items": {"minimum": 3}}}, "required": ["c"]}, {"a": "x", "b": [1, 5, 2]}),
+    ({"additionalProperties": False, "properties": {"a": True}}, {"a": 1, "b": 2}),
+    ({"additionalProperties": {"type": "string"}, "properties": {"a": True}}, {"a": 1, "b": 2}),
+    ({"propertyNames": {"maxLength": 1}}, {"ab": 1, "c": 2}),
+    ({"anyOf": [{"type": "string"}, {"minimum": 5}]}, 3),
+    ({"oneOf": [{"type": "integer"}, {"minimum": 2}]}, 3),
+    ({"not": {"type": "integer"}}, 3),
+    ({"if": {"type": "integer"}, "then": {"minimum": 5}}, 3),
+    ({"if": {"required": ["a"]}, "else": {"required": ["b"]}}, {}),
+    ({"contains": {"type": "string"}, "minContains": 1}, [1, 2]),
+    ({"contains": {"type": "integer"}, "minContains": 3}, [1, 2, "x"]),
+    ({"contains": {"type": "integer"}, "minContains": 2}, ["a", "b"]),
+    ({"contains": {"type": "integer"}, "maxContains": 1}, [1, 2]),
+    ({"prefixItems": [{"type": "string"}], "items": {"type": "integer"}}, [1, "x"]),
+    ({"items": False}, [1]),
+    ({"items": False, "prefixItems": [True]}, [1, 2]),
+    ({"uniqueItems": True}, [1, 1]),
+    ({"dependentRequired": {"a": ["b"]}}, {"a": 1}),
+    ({"dependentSchemas": {"a": {"required": ["b"]}}}, {"a": 1}),
+    ({"$ref": "#/$defs/p", "$defs": {"p": {"type": "integer"}}}, "x"),
+    ({"unevaluatedProperties": False, "properties": {"a": True}}, {"a": 1, "b": 2}),
+    ({"unevaluatedProperties": {"type": "string"}, "properties": {"a": True}}, {"a": 1, "b": 2}),
+    ({"unevaluatedItems": False, "prefixItems": [True]}, [1, 2]),
+    ({"allOf": [{"minimum": 5}, {"type": "string"}]}, 3),
+    ({"minProperties": 2}, {"a": 1}),
+    ({"properties": {"a": {"properties": {"b": {"prefixItems": [{"const": 5}]}}}}},
+     {"a": {"b": [4]}}),
+    ({"type": "array", "properties": {"a": {"type": "string"}}}, {"a": 1}),
+    ({"minimum": 5, "type": "string"}, 3),
+    ({"type": "string", "minLength": 5, "pattern": "x"}, "abc"),
+    ({"patternProperties": {"^a": {"type": "integer"}}}, {"ab": "x"}),
+    ({"enum": [1, 2]}, 3),
+    ({"multipleOf": 3}, 4),
+    ({"exclusiveMinimum": 3}, 3),
+    ({"properties": {"a~b": {"type": "string"}, "c/d": {"type": "string"}}},
+     {"a~b": 1, "c/d": 2}),
+    ({"allOf": [{"properties": {"x": {"minimum": 0}}}, {"required": ["y"]}]}, {"x": -1}),
+]
+
+
+@pytest.mark.parametrize("schema,inst", FIXED_CASES)
+def test_jsonschema_parity_fixed(schema, inst):
+    js = _js_pairs(schema, inst)
+    assert js is not None, "fixed corpus must avoid bare-False subschemas"
+    assert violation_pointers(inst, schema) == js
+
+
+# ---------------------------------------------------------------------------
+# jsonschema parity — the WHOLE vendored JSTS corpus (802 cases)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fname", CORPUS_FILES)
+def test_jsts_corpus_pointer_parity(fname):
+    """Every suite case: (1) the consistency invariant against our own
+    evaluator; (2) exact (pointer, keyword) parity with jsonschema on
+    every case jsonschema can arbitrate (no validator-None errors)."""
+    checked = skipped = 0
+    for s in _load(fname):
+        pc = PointerCollector(s["schema"])
+        ev = Evaluator(s["schema"])
+        for t in s["tests"]:
+            ours = pc.errors(t["data"])
+            assert (ours == []) == ev.validate(t["data"]), (
+                f"{fname} :: {s['description']} :: {t['description']}"
+            )
+            js = _js_pairs(s["schema"], t["data"])
+            if js is None:
+                skipped += 1
+                continue
+            checked += 1
+            assert ours == js, (
+                f"{fname} :: {s['description']} :: {t['description']}: "
+                f"ours={ours} jsonschema={js}"
+            )
+    assert checked > 0 or skipped > 0
+
+
+# ---------------------------------------------------------------------------
+# typed + Arrow Column tiers
+# ---------------------------------------------------------------------------
+
+TYPED_SCHEMA = {
+    "type": "object",
+    "required": ["name", "size"],
+    "properties": {
+        "name": {"type": "string", "minLength": 2, "pattern": "^[a-z]+$"},
+        "size": {"type": "integer", "minimum": 0, "maximum": 100},
+        "tags": {"type": "array", "items": {"type": "string", "maxLength": 3},
+                 "minItems": 1, "uniqueItems": True},
+        "meta": {"type": "object",
+                 "properties": {"lvl": {"enum": ["a", "b"]}},
+                 "required": ["lvl"], "additionalProperties": False},
+        "pair": {"prefixItems": [{"const": 1}, {"minimum": 0}], "items": False},
+        "alt": {"oneOf": [{"type": "string"}, {"minimum": 10}]},
+        "ref": {"$ref": "#/$defs/pos"},
+        "choice": {"anyOf": [{"const": "x"}, {"const": "y"}]},
+        "neg": {"not": {"const": 13}},
+        "scores": {"contains": {"minimum": 50}, "minContains": 2, "maxContains": 3},
+    },
+    "patternProperties": {"^x_": {"type": "number", "exclusiveMinimum": 0}},
+    "dependentRequired": {"size": ["name"]},
+    "dependentSchemas": {"alt": {"required": ["tags"]}},
+    "$defs": {"pos": {"type": "number", "exclusiveMinimum": 0}},
+}
+
+TYPED_ROWS = [
+    {"name": "ok", "size": 5, "tags": ["a"]},
+    {"name": "X", "size": -1},
+    {"name": "okay", "size": 101, "tags": ["abcd", "ok", "ok"]},
+    {"size": 5, "meta": {"lvl": "z", "extra": "w"}},
+    {"name": "ok", "size": 5, "pair": [2, -3, 9], "tags": ["a"]},
+    {"name": "ok", "size": 5, "alt": 3.5},
+    {"name": "ok", "size": 5, "ref": -2.0, "choice": "z", "neg": 13, "tags": ["a"]},
+    {"name": "ok", "size": 5, "scores": [10, 60], "tags": ["a"]},
+    {"name": "ok", "size": 5, "scores": [55, 60, 70, 80], "tags": ["a"]},
+    {"name": "ok", "size": 5, "x_v": -1.5, "tags": ["a"]},
+    None,
+]
+
+TYPED_DT = T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("size", T.LongType()),
+    T.StructField("tags", T.ArrayType(T.StringType())),
+    T.StructField("meta", T.StructType([
+        T.StructField("lvl", T.StringType()),
+        T.StructField("extra", T.StringType()),
+    ])),
+    T.StructField("pair", T.ArrayType(T.LongType())),
+    T.StructField("alt", T.DoubleType()),
+    T.StructField("ref", T.DoubleType()),
+    T.StructField("choice", T.StringType()),
+    T.StructField("neg", T.LongType()),
+    T.StructField("scores", T.ArrayType(T.LongType())),
+    T.StructField("x_v", T.DoubleType()),
+])
+
+
+class TestColumnTiers:
+    def _expected(self, row):
+        return violation_pointers(row, TYPED_SCHEMA)
+
+    def test_typed_tier_matches_collector(self, spark):
+        jdf = spark.createDataFrame(
+            [(json.dumps(r) if r is not None else None,) for r in TYPED_ROWS],
+            "v string",
+        )
+        tdf = jdf.select(F.from_json("v", TYPED_DT).alias("s"))
+        col, tier = compile_pointers(TYPED_SCHEMA, tdf["s"], TYPED_DT)
+        assert tier == "typed_builtin"
+        got = [
+            [(e["pointer"], e["keyword"]) for e in r[0]]
+            for r in tdf.select(col).collect()
+        ]
+        for row, g in zip(TYPED_ROWS, got):
+            assert g == self._expected(row), row
+
+    def test_arrow_tier_matches_collector(self, spark):
+        jdf = spark.createDataFrame(
+            [(json.dumps(r) if r is not None else None,) for r in TYPED_ROWS]
+            + [("{not json",)],
+            "v string",
+        )
+        col, tier = compile_json_pointers(TYPED_SCHEMA, jdf["v"])
+        assert tier == "arrow_udf"
+        got = [
+            sorted((e["pointer"], e["keyword"]) for e in r[0])
+            for r in jdf.select(col).collect()
+        ]
+        for row, g in zip(TYPED_ROWS, got):
+            assert g == self._expected(row), row
+        assert got[-1] == [("#", "json")]  # malformed cell
+
+    def test_unsupported_keywords_raise(self):
+        for s in (
+            {"unevaluatedProperties": False},
+            {"contentEncoding": "base64"},
+        ):
+            with pytest.raises(CompileError):
+                TypedPointerCompiler(s)
+        with pytest.raises(CompileError):
+            # composite-literal enum: raises when the predicate is built
+            TypedPointerCompiler({"enum": [[1, 2]]}).compile_pointers(
+                F.col("a"), T.ArrayType(T.LongType())
+            )
+        with pytest.raises(CompileError):
+            TypedPointerCompiler({"required": ["a"]}).compile_pointers(
+                F.col("m"), T.MapType(T.StringType(), T.LongType())
+            )
+
+    def test_map_dtype_falls_back(self, spark):
+        df = spark.createDataFrame(
+            [({"a": 1},), ({"b": 2},), (None,)],
+            T.StructType([T.StructField("m", T.MapType(T.StringType(), T.LongType()))]),
+        )
+        col, tier = compile_pointers(
+            {"required": ["a"]}, df["m"], df.schema["m"].dataType
+        )
+        assert tier == "arrow_udf"
+        got = [
+            sorted((e["pointer"], e["keyword"]) for e in r[0])
+            for r in df.select(col).collect()
+        ]
+        # NULL cell = JSON null: `required` applies only to objects,
+        # so null is VALID (evaluator + jsonschema agree)
+        assert got == [[], [("#", "required")], []]
+
+    def test_ruleset_pointers_end_to_end(self, spark):
+        from fences_spark.compiler.ruleset import RuleSet
+
+        df = spark.createDataFrame(
+            [(1, "ab", '{"x": 1}'), (2, "A", '{"x": -5, "y": 2}'), (3, None, "{bad")],
+            "id long, code string, payload string",
+        )
+        rs = RuleSet()
+        rs.add("code_ok", "code",
+               {"type": "string", "pattern": "^[a-z]+$", "minLength": 2})
+        rs.add("payload_ok", "payload",
+               {"type": "object", "properties": {"x": {"minimum": 0}},
+                "additionalProperties": False}, mode="json")
+        got = sorted(
+            map(tuple, rs.pointers(df, "id").collect())
+        )
+        assert got == [
+            (2, "code_ok", "#", "minLength"),
+            (2, "code_ok", "#", "pattern"),
+            (2, "payload_ok", "#", "additionalProperties"),
+            (2, "payload_ok", "#/x", "minimum"),
+            (3, "code_ok", "#", "type"),  # NULL cell = JSON null
+            (3, "payload_ok", "#", "json"),
+        ]
