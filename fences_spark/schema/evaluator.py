@@ -127,20 +127,73 @@ def uses_dynamic_scope(root: Any) -> bool:
 # ---------------------------------------------------------------------------
 # format registry — the nine canned formats of the reference
 # (fences/json_schema/parse.py:134-171) plus base64 'byte'
-# (parse.py:315-324).  Evaluated as regex / parse checks.
+# (parse.py:315-324).  Evaluated as regex checks on every tier.
+#
+# Semantics (round 4) are arbitrated against
+# jsonschema.Draft202012Validator.FORMAT_CHECKER on the official
+# optional/format edge vectors (tests/test_format_vectors.py):
+# date/date-time carry a real proleptic-Gregorian calendar (month
+# lengths, leap years incl. the 100/400 century rule, year
+# 0001-9999); time/date-time are RFC 3339 full-time (offset
+# REQUIRED, hour 00-23, no leap seconds — the arbiter's
+# rfc3339_validator rejects :60); ipv6 is the full RFC 4291 grammar
+# (::-compression, IPv4-embedded tails, no zone-ids) matching
+# Python ipaddress; duration is RFC 3339 appendix A (weeks
+# exclusive of other units, T requires a following component, no
+# sign).  Documented dialect choices: email/hostname stay the
+# RFC-5321/1123-shaped regexes (stricter than jsonschema's
+# trivial "@-in-string" email check; no quoted local parts or
+# IP-literal domains); `datetime` (the XSD xs:dateTime alias,
+# schema/xsd.py) keeps the permissive optional-offset shape XML
+# requires.  Classes are ASCII-explicit ([0-9], never \d) so the
+# Python, Java-(?U) and DuckDB engines agree on unicode digits.
 # ---------------------------------------------------------------------------
 
+# proleptic-Gregorian date, years 0001-9999 (both arbiters —
+# rfc3339_validator and datetime.date — reject year 0000)
+_DATE_BODY = (
+    "(?!0000)(?:"
+    "[0-9]{4}-(?:0[13578]|1[02])-(?:0[1-9]|[12][0-9]|3[01])"
+    "|[0-9]{4}-(?:0[469]|11)-(?:0[1-9]|[12][0-9]|30)"
+    "|[0-9]{4}-02-(?:0[1-9]|1[0-9]|2[0-8])"
+    "|(?:[0-9]{2}(?:0[48]|[2468][048]|[13579][26])"
+    "|(?:[02468][048]|[13579][26])00)-02-29"
+    ")"
+)
+# RFC 3339 full-time: offset mandatory, no leap seconds
+_TIME_BODY = (
+    "(?:[01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9](?:\\.[0-9]+)?"
+    "(?:[Zz]|[+-](?:[01][0-9]|2[0-3]):[0-5][0-9])"
+)
+_V4_OCTET = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_V4_BODY = f"{_V4_OCTET}(?:\\.{_V4_OCTET}){{3}}"
+_H16 = "[0-9A-Fa-f]{1,4}"
+# RFC 4291 with ::-compression and IPv4-embedded tails, enumerated
+# by leading-group count (each line: full h16 run | compressed run |
+# compressed-with-v4-tail | bare ::)
+_IPV6_BODY = (
+    f"(?:{_H16}:){{7}}(?:{_H16}|:)"
+    f"|(?:{_H16}:){{6}}(?::{_H16}|{_V4_BODY}|:)"
+    f"|(?:{_H16}:){{5}}(?:(?::{_H16}){{1,2}}|:{_V4_BODY}|:)"
+    f"|(?:{_H16}:){{4}}(?:(?::{_H16}){{1,3}}|(?::{_H16})?:{_V4_BODY}|:)"
+    f"|(?:{_H16}:){{3}}(?:(?::{_H16}){{1,4}}|(?::{_H16}){{0,2}}:{_V4_BODY}|:)"
+    f"|(?:{_H16}:){{2}}(?:(?::{_H16}){{1,5}}|(?::{_H16}){{0,3}}:{_V4_BODY}|:)"
+    f"|{_H16}:(?:(?::{_H16}){{1,6}}|(?::{_H16}){{0,4}}:{_V4_BODY}|:)"
+    f"|:(?:(?::{_H16}){{1,7}}|(?::{_H16}){{0,5}}:{_V4_BODY}|:)"
+)
+
 _FORMAT_REGEX: dict[str, str] = {
-    "email": r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+$",
+    # RFC 5321 dot-string local part (no leading/trailing/double dots)
+    "email": r"^[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+(?:\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+$",
     "hostname": r"^(?=.{1,253}$)[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$",
-    "ipv4": r"^(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$",
-    "ipv6": r"^(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}$|^(?:[0-9A-Fa-f]{1,4}:)*:(?:[0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{0,4}$",
+    "ipv4": f"^{_V4_BODY}$",
+    "ipv6": f"^(?:{_IPV6_BODY})$",
     "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
-    "date": r"^\d{4}-\d{2}-\d{2}$",
-    "time": r"^\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:\d{2})?$",
-    "datetime": r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:[Zz]|[+-]\d{2}:?\d{2})?$",
-    "date-time": r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:[Zz]|[+-]\d{2}:?\d{2})?$",
-    "duration": r"^-?P(?=\d|T\d)(?:\d+Y)?(?:\d+M)?(?:\d+W)?(?:\d+D)?(?:T(?:\d+H)?(?:\d+M)?(?:\d+(?:\.\d+)?S)?)?$",
+    "date": f"^{_DATE_BODY}$",
+    "time": f"^{_TIME_BODY}$",
+    "datetime": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[Tt ][0-9]{2}:[0-9]{2}:[0-9]{2}(?:\.[0-9]+)?(?:[Zz]|[+-][0-9]{2}:?[0-9]{2})?$",
+    "date-time": f"^{_DATE_BODY}[Tt]{_TIME_BODY}$",
+    "duration": r"^P(?:[0-9]+W|(?=[0-9]|T[0-9])(?:[0-9]+Y)?(?:[0-9]+M)?(?:[0-9]+D)?(?:T(?=[0-9])(?:[0-9]+H)?(?:[0-9]+M)?(?:[0-9]+(?:\.[0-9]+)?S)?)?)$",
     "byte": r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$",
 }
 

@@ -37,7 +37,7 @@ FORMAT_SAMPLES: dict[str, tuple[str, str]] = {
     "ipv6": ("2001:db8::1", "zz::g"),
     "uuid": ("123e4567-e89b-12d3-a456-426614174000", "not-a-uuid"),
     "date": ("2024-01-31", "31/01/2024"),
-    "time": ("13:45:30", "1:99"),
+    "time": ("13:45:30Z", "1:99"),
     "datetime": ("2024-01-31T13:45:30Z", "yesterday noon"),
     "date-time": ("2024-01-31T13:45:30Z", "yesterday noon"),
     "duration": ("P1DT2H", "1 day"),
