@@ -322,6 +322,51 @@ def quality_percentiles(
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    return _assemble_percentiles(base)
+
+
+def quality_percentiles_staged(
+    df: DataFrame, id_col: str, text_col: str, strata_col
+):
+    """``quality_percentiles(materialize=True)`` with an OWNED cache
+    lifecycle: returns ``(result, release)`` where ``release()``
+    unpersists the staged narrow projection once the caller's action
+    (a parquet write, a collect) has completed.  This is the form a
+    pipeline that owns the session should use — one corpus scan, no
+    cache left behind (run/pipeline.py wires it for the quality-band
+    stage).  ``strata_col`` may be a column name or a Column
+    expression (e.g. ``F.lit("all")`` for a single global stratum).
+    """
+    from pyspark import StorageLevel
+
+    from fences_spark.operators.text import quality_score
+
+    buckets = 1024
+    stratum = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        stratum.alias("stratum"),
+        quality_score(F.col(text_col)).alias("quality"),
+    ).withColumn(
+        "b",
+        F.when(F.col("quality").isNull(), F.lit(-1))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(buckets - 1), F.floor(F.col("quality") * buckets)),
+            )
+        )
+        .cast("int"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _assemble_percentiles(base), base.unpersist
+
+
+def _assemble_percentiles(base: DataFrame) -> DataFrame:
+    """Bucket-offset exact rank over a (doc_id, stratum, quality, b)
+    frame — the skew-bounded assembly shared by the plan-pure,
+    materialized, and staged entry points."""
+    from pyspark.sql import Window
+
     woff = Window.partitionBy("stratum").orderBy("b").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -39,6 +39,13 @@ class PipelineConfig:
         "text_present": {"type": "string", "minLength": 1},
     })
     blocked_domains: list[str] | None = None
+    # per-stratum quality band: drop documents below this percentile of
+    # quality WITHIN their stratum (None disables the stage).  The
+    # pipeline owns the session lifecycle, so this stage always runs the
+    # one-scan materialized percentile (quality_percentiles_staged) and
+    # releases the staged projection once its sink is written.
+    quality_min_pct: float | None = None
+    strata_col: str | None = None  # None -> one global stratum
     pack_budget: int = 256
     n_shards: int = 8
 
@@ -107,6 +114,28 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
     )
     kept = valid.join(kept_ids, idc).persist(StorageLevel.MEMORY_AND_DISK)
 
+    # 2b. quality band (optional) ----------------------------------------
+    # one-scan staged percentile: the pipeline owns the cache lifecycle,
+    # so the 100 TB setting (materialized narrow projection, VERDICT r3)
+    # is the default here — released as soon as the quality sink exists
+    kept_after_quality = None
+    if cfg.quality_min_pct is not None:
+        from fences_spark.operators.sampling import quality_percentiles_staged
+
+        strata = cfg.strata_col if cfg.strata_col is not None else F.lit("all")
+        pcts, release = quality_percentiles_staged(kept, idc, txc, strata)
+        pcts.write.mode("overwrite").parquet(cfg.path("quality"))
+        release()
+        band_ids = (
+            spark.read.parquet(cfg.path("quality"))
+            .filter(F.col("pct") >= cfg.quality_min_pct)
+            .select(F.col("doc_id").alias(idc))
+        )
+        banded = kept.join(band_ids, idc).persist(StorageLevel.MEMORY_AND_DISK)
+        kept.unpersist()
+        kept = banded
+        kept_after_quality = kept.count()
+
     # 3. near-dup dedup (keep cluster canonicals) ------------------------
     pairs = minhash_lsh_pairs(kept, idc, txc)
     clusters = connected_components(pairs)
@@ -145,6 +174,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
         "sequences": spark.read.parquet(cfg.path("sequences")).count(),
         "shards": cfg.n_shards,
     }
+    if kept_after_quality is not None:
+        summary["kept_after_quality_band"] = kept_after_quality
     _write_text(spark, cfg.path("summary.json"),
                 json.dumps(summary, indent=1, sort_keys=True))
     valid.unpersist()
