@@ -773,6 +773,7 @@ FROM events GROUP BY 1
 # ---------------------------------------------------------------------------
 
 _MINHASH_N, _BAND, _SHK = 12, 3, 3
+_MAXBG = 64  # minhash_lsh_pairs/minhash_near_dup_scored max_band_group default
 
 
 def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,7 +791,13 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_ctes() -> str:
     """Shared CTE chain ending in ``mh_pairs`` (id_a, id_b) — the
     DuckDB mirror of minhash_lsh_pairs, reused by the pairs oracle and
-    the connected-components oracle."""
+    the connected-components oracle.  Mirrors the ``max_band_group``
+    cap exactly: Spark keeps the ``slice(array_sort(collect_list(
+    doc_id)), 1, cap)`` smallest ids per (band_idx, band_hash) bucket,
+    which is the QUALIFY row_number ≤ cap below — deterministic, so
+    the oracle stays value-exact even on a corpus where one hot
+    boilerplate text floods a band bucket (tests/test_fuzz_corpora.py
+    ``all_boilerplate``)."""
     n_bands = _MINHASH_N // _BAND
     sig_exprs = ", ".join(
         f"list_min(list_transform(shingles, x -> md5('{s}:' || x)))" for s in range(_MINHASH_N)
@@ -808,7 +815,7 @@ def _minhash_ctes() -> str:
          CASE WHEN len(t) >= {_SHK}
               THEN list_distinct(list_transform(range(1, len(t) - {_SHK} + 2),
                                  i -> array_to_string(t[i:i+{_SHK - 1}], ' ')))
-              ELSE [array_to_string(t, ' ')] END AS shingles
+              WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END AS shingles
   FROM toks
 ), sig AS (
   SELECT doc_id, [{sig_exprs}] AS sig FROM sh
@@ -816,9 +823,14 @@ def _minhash_ctes() -> str:
   SELECT doc_id, unnest([{band_exprs}]) AS band_hash,
          unnest(range(1, {n_bands + 1})) AS band_idx
   FROM sig
+), bands_capped AS (
+  SELECT band_idx, band_hash, doc_id
+  FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band_idx, band_hash
+                             ORDER BY doc_id) <= {_MAXBG}
 ), mh_pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM bands_capped a JOIN bands_capped b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 )"""
 
@@ -913,7 +925,7 @@ WITH sh AS (
            CASE WHEN len(t) >= 3
                 THEN list_distinct(list_transform(range(1, len(t) - 1),
                                    i -> array_to_string(t[i:i+2], ' ')))
-                ELSE [array_to_string(t, ' ')] END AS shingles
+                WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END AS shingles
     FROM (SELECT doc_id,
                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
           FROM documents)
@@ -979,7 +991,7 @@ WITH toks AS (
          unnest(CASE WHEN len(t) >= 5
                      THEN list_transform(range(1, len(t) - 3),
                                          i -> array_to_string(t[i:i+4], ' '))
-                     ELSE [array_to_string(t, ' ')] END) AS gram
+                     WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END) AS gram
   FROM toks
 ), hashed AS (
   SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT AS h FROM grams
@@ -1055,7 +1067,7 @@ WITH toks AS (
          unnest(CASE WHEN len(t) >= ks.k
                      THEN list_transform(range(1, len(t) - ks.k + 2),
                                          i -> array_to_string(t[i:i+ks.k-1], ' '))
-                     ELSE [array_to_string(t, ' ')] END) AS gram
+                     WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END) AS gram
   FROM toks, (VALUES (2), (3)) ks(k)
 ), cnt AS (
   SELECT doc_id, k, gram, COUNT(*)::BIGINT AS c FROM grams GROUP BY 1, 2, 3
@@ -1130,7 +1142,7 @@ WITH t AS (
          CASE WHEN len(toks) >= 64
               THEN list_transform(range(1, len(toks) - 62),
                                   i -> array_to_string(toks[i:i+63], ' '))
-              ELSE [array_to_string(toks, ' ')] END AS g,
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END AS g,
          greatest(len(toks) - 63, 1) AS ng
   FROM t
 ), ch AS (
@@ -1583,7 +1595,7 @@ WITH t AS (
            unnest(CASE WHEN len(toks) >= 3
                        THEN list_transform(range(1, len(toks) - 1),
                                            i -> array_to_string(toks[i:i+2], ' '))
-                       ELSE [array_to_string(toks, ' ')] END) AS gram
+                       WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END) AS gram
     FROM t) GROUP BY 1, 2
 ), rep AS (
   SELECT doc_id,
@@ -1595,7 +1607,7 @@ WITH t AS (
            unnest(CASE WHEN len(toks) >= 5
                        THEN list_transform(range(1, len(toks) - 3),
                                            i -> array_to_string(toks[i:i+4], ' '))
-                       ELSE [array_to_string(toks, ' ')] END) AS gram
+                       WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END) AS gram
     FROM t)
 ), counts AS (
   SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h
@@ -1680,7 +1692,7 @@ WITH {_URL_ENRICH_SQL_CTE}, t AS (
            unnest(CASE WHEN len(toks) >= 3
                        THEN list_transform(range(1, len(toks) - 1),
                                            i -> array_to_string(toks[i:i+2], ' '))
-                       ELSE [array_to_string(toks, ' ')] END) AS gram
+                       WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END) AS gram
     FROM t) GROUP BY 1, 2
 ), rep AS (
   SELECT doc_id,
@@ -1692,7 +1704,7 @@ WITH {_URL_ENRICH_SQL_CTE}, t AS (
            unnest(CASE WHEN len(toks) >= 5
                        THEN list_transform(range(1, len(toks) - 3),
                                            i -> array_to_string(toks[i:i+4], ' '))
-                       ELSE [array_to_string(toks, ' ')] END) AS gram
+                       WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] ELSE [] END) AS gram
     FROM t)
 ), counts AS (
   SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h
@@ -3544,7 +3556,7 @@ WITH split AS (
          unnest(list_distinct(CASE WHEN len(t) >= 5
                      THEN list_transform(range(1, len(t) - 3),
                                          i -> array_to_string(t[i:i+4], ' '))
-                     ELSE [array_to_string(t, ' ')] END)) AS gram
+                     WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END)) AS gram
   FROM toks
 ), hashed AS (
   SELECT doc_id, is_eval, ('0x' || substring(md5(gram), 1, 15))::BIGINT AS h FROM grams

@@ -63,7 +63,13 @@ def tokens(col: Column) -> Column:
 
 def word_shingles(toks: Column, k: int) -> Column:
     """k-word shingles as strings; a doc shorter than k words yields
-    its single joined token string.
+    its single joined token string; a doc with NO tokens yields NO
+    shingles.  (The zero-token fallback used to be the ``''`` shingle,
+    which is both semantically wrong — an empty document has no spans
+    to be duplicated — and a corpus-wide hot key at scale: every
+    empty/whitespace-only document in a 100 TB corpus would collide on
+    one gram in every downstream groupBy/join.  Found by the seeded
+    pathological-corpus oracle fuzz, tests/test_fuzz_corpora.py.)
 
     Execution shape: higher-order lambdas re-evaluate non-lambda-var
     subtrees once PER ELEMENT, so the naive ``transform(sequence, i ->
@@ -77,7 +83,11 @@ def word_shingles(toks: Column, k: int) -> Column:
     # so [^ ]+ words in the single-space-joined string are the tokens
     pattern = f" (?=([^ ]+(?: [^ ]+){{{k - 1}}}))"
     full = F.regexp_extract_all(F.concat(F.lit(" "), joined), F.lit(pattern), 1)
-    return F.when(F.size(toks) >= k, full).otherwise(F.array(joined))
+    return (
+        F.when(F.size(toks) >= k, full)
+        .when(F.size(toks) > 0, F.array(joined))
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -126,7 +136,9 @@ def minhash_signatures(
     combined: the shuffle carries only one partial signature row per
     doc per partition, NOT the exploded shingles).  Each seed is an
     independent pseudo-permutation of shingle space; docs with no
-    token still get a signature (md5 of the empty shingle).
+    token produce no shingles, hence NO signature row — an empty
+    document is never a near-dup candidate (and never a hot band
+    bucket).
 
     Implementation note: the tempting fully-narrow form —
     ``array(array_min(transform(shingles, x -> md5(seed||x))) for each

@@ -290,8 +290,8 @@ def chunk_documents(
     ``stride`` tokens; if the last window does not land on the final
     token, one extra BACK-ALIGNED window ending at the last token is
     emitted (no tail tokens are dropped).  A doc shorter than
-    ``chunk_tokens`` yields its whole text as chunk 0.  No reference
-    precedent (SURVEY.md §2.F).
+    ``chunk_tokens`` yields its whole text as chunk 0; a doc with NO
+    tokens yields no chunks.  No reference precedent (SURVEY.md §2.F).
 
     Execution shape: per-row and linear — every candidate window is a
     word k-gram from the ONE-regex-pass :func:`fences_spark.operators.
