@@ -88,6 +88,17 @@ HEADLINE = [
 
 
 def main() -> None:
+    # optional composite-pipeline mode: `python bench.py --pipeline [ROWS]`
+    # runs the end-to-end curation pipeline bench (scripts/bench_pipeline.py)
+    # instead of the per-query headline suite.
+    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline":
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        import bench_pipeline
+
+        rows = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000
+        print(json.dumps(bench_pipeline.run(rows, CPUS, None)))
+        return
+
     from fences_spark.entry_queries import QUERIES
     from fences_spark.session import get_spark
 

@@ -181,3 +181,88 @@ def baseline_hist(spark: SparkSession, n_rows: int) -> DataFrame:
         .select(F.lit("path_depth").alias("dim"), "bucket", "cnt")
     )
     return lang_h.unionByName(depth_h)
+
+
+# ---------------------------------------------------------------------------
+# synthetic documents corpus (composite-pipeline bench)
+# ---------------------------------------------------------------------------
+
+DOC_VOCAB = (
+    # ~20% common stopwords so the synthetic corpus's quality_score
+    # lands in a realistic band (not pinned to the 0.8 keep threshold)
+    "the the a and of to in is that it for "
+    "quick brown fox jumps over lazy dog data spark table query "
+    "plan stage shuffle join scan filter merge sort hash bucket salt "
+    "skew probe build column row batch stream window state commit "
+    "schema type string number array object valid check rule corpus "
+    "token chunk pack shard sample quality span gram model train"
+).split()
+
+_DOC_BOILERPLATE = (
+    "all rights reserved terms of service privacy policy cookie "
+    "notice subscribe to our newsletter follow us on social media"
+)
+
+
+def documents_table(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Deterministic synthetic curation corpus at any scale —
+    (doc_id, text, lang, source, n_chars), same shape as the driver's
+    ``documents`` table.  Generated entirely with JVM expressions
+    (``spark.range`` + hash-seeded token picks): byte-identical at any
+    parallelism, no driver loops, no Python.
+
+    Planted content classes by a 0-99 hash bucket so the composite
+    pipeline has real work at every stage:
+
+    - cls < 10   exact duplicates: 16-row groups share one text
+    - 10-19      near duplicates: group text + one unique tail token
+    - 20-24      boilerplate-heavy: shared legal footer + unique tail
+    - 25-29      low quality: one token repeated 3..40 times
+    - 30         empty text (degenerate row for validate/curate)
+    - else       unique 15..45-token documents
+    """
+    V = len(DOC_VOCAB)
+    vocab_arr = F.array(*[F.lit(w) for w in DOC_VOCAB])
+    df = spark.range(n_rows).withColumnRenamed("id", "i")
+    i = F.col("i")
+    istr = i.cast("string")
+    cls = F.pmod(F.xxhash64(F.concat(F.lit("cls"), istr)), F.lit(100))
+
+    group_head = (i - F.pmod(i, F.lit(16))).cast("string")
+    seed = F.when(cls < 20, group_head).otherwise(istr)
+    n_tok = (F.pmod(F.xxhash64(F.concat(F.lit("ntok"), seed)), F.lit(31)) + 15).cast("int")
+    base = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 1),
+            lambda j: F.element_at(
+                vocab_arr,
+                (F.pmod(F.xxhash64(seed, j.cast("string")), F.lit(V)) + 1).cast("int"),
+            ),
+        ),
+    )
+    uniq_word = F.element_at(
+        vocab_arr, (F.pmod(F.xxhash64(F.concat(F.lit("u"), istr)), F.lit(V)) + 1).cast("int")
+    )
+    rep_n = (F.pmod(F.xxhash64(F.concat(F.lit("rep"), istr)), F.lit(38)) + 3).cast("int")
+    text = (
+        F.when(cls < 10, base)                                        # exact dup group
+        .when(cls < 20, F.concat(base, F.lit(" tail"), istr))         # near dup
+        .when(cls < 25, F.concat(F.lit(_DOC_BOILERPLATE), F.lit(" "), uniq_word, F.lit(" "), istr))
+        .when(cls < 30, F.concat_ws(" ", F.array_repeat(uniq_word, rep_n)))
+        .when(cls == 30, F.lit(""))
+        .otherwise(base)
+    )
+    lang = (
+        F.when(F.pmod(i, 10) < 6, F.lit("en"))
+        .when(F.pmod(i, 10) < 8, F.lit("de"))
+        .when(F.pmod(i, 10) < 9, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select(
+        i.alias("doc_id"),
+        text.alias("text"),
+        lang.alias("lang"),
+        F.concat(F.lit("src"), F.pmod(i, 10).cast("string")).alias("source"),
+        F.length(text).alias("n_chars"),
+    )
