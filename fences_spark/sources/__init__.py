@@ -32,11 +32,25 @@ def read_table(
 
     - ``snapshot_id``: time-travel pin (Iceberg ``snapshot-id``).
     - ``start_snapshot_id``: incremental read lower bound (Iceberg
-      ``start-snapshot-id``) for batch-incremental resume.
-    Parquet sources ignore both (the directory IS the snapshot; see
+      ``start-snapshot-id``, exclusive) for batch-incremental resume.
+
+    Path sources: a snapshot-log table (``metadata/snapshots.json``
+    present — :mod:`fences_spark.sources.snaplog`) honors BOTH options
+    with Iceberg's exact semantics; a bare parquet directory ignores
+    them (the directory IS the snapshot; see
     :func:`snapshot_fingerprint`).
     """
     if is_path(source):
+        from fences_spark.sources import snaplog
+
+        if snaplog.is_snaplog_table(source):
+            if start_snapshot_id is not None:
+                return snaplog.read_incremental(
+                    spark, source,
+                    start_snapshot_id=start_snapshot_id,
+                    end_snapshot_id=snapshot_id,
+                )
+            return snaplog.read(spark, source, snapshot_id=snapshot_id)
         return spark.read.parquet(source)
     reader = spark.read.format("iceberg")
     if snapshot_id is not None:
@@ -55,9 +69,14 @@ def read_table(
 def snapshot_fingerprint(source: str) -> str:
     """Stable id of the current data version.  For a parquet dir:
     sha256 of the sorted (name, size, mtime) listing — the sandbox
-    stand-in for an Iceberg snapshot id."""
+    stand-in for an Iceberg snapshot id.  Snapshot-log tables return
+    their real current snapshot id (log-committed, mtime-independent)."""
     if not is_path(source):
         return "iceberg-current"
+    from fences_spark.sources import snaplog
+
+    if snaplog.is_snaplog_table(source):
+        return snaplog.current_snapshot_id(source) or "empty"
     entries = []
     for root, _dirs, names in os.walk(source):
         for n in sorted(names):

@@ -1,0 +1,168 @@
+"""Iceberg snapshot semantics (round-4 verdict item 8).
+
+The sandbox has no Iceberg runtime jars, so the snapshot surface is
+pinned two ways:
+
+1. Option-passing pin: ``read_table`` on an identifier source must
+   route through ``format("iceberg")`` with ``snapshot-id`` /
+   ``start-snapshot-id`` passed verbatim (a recording fake reader —
+   the exact strings a real Iceberg runtime would consume).
+2. Semantics, end-to-end: :mod:`fences_spark.sources.snaplog`
+   reproduces Iceberg's read semantics (time travel; incremental
+   append scan, start-exclusive / end-inclusive) over plain parquet,
+   and ``read_table`` honors both options on such tables — exercised
+   through a real ValidationRunner resume: validate snapshot A, append
+   snapshot B, resume incrementally from A and end up with exactly a
+   full run's violations.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fences_spark.sources import read_table, snapshot_fingerprint
+from fences_spark.sources import snaplog
+from fences_spark.synth import files_table
+
+
+# ---------------------------------------------------------------- fakes
+class _RecReader:
+    def __init__(self):
+        self.fmt, self.opts, self.loaded = None, {}, None
+
+    def format(self, fmt):
+        self.fmt = fmt
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def load(self, source):
+        self.loaded = source
+        return "SENTINEL_DF"
+
+
+class _FakeSpark:
+    def __init__(self):
+        self.reader = _RecReader()
+
+    @property
+    def read(self):
+        return self.reader
+
+
+def test_identifier_source_passes_iceberg_options_verbatim():
+    fake = _FakeSpark()
+    out = read_table(fake, "cat.db.files", snapshot_id="9876", start_snapshot_id="1234")
+    assert out == "SENTINEL_DF"
+    assert fake.reader.fmt == "iceberg"
+    assert fake.reader.opts == {"snapshot-id": "9876", "start-snapshot-id": "1234"}
+    assert fake.reader.loaded == "cat.db.files"
+
+
+# ------------------------------------------------------------- snaplog
+@pytest.fixture
+def table(spark, tmp_path):
+    """Two-snapshot table: A = ~2/3 of files_table(3000), B = rest."""
+    root = str(tmp_path / "tbl")
+    full = files_table(spark, 3000)
+    in_b = F.pmod(F.xxhash64("path"), F.lit(3)) == 0
+    a = snaplog.append(spark, root, full.filter(~in_b))
+    b = snaplog.append(spark, root, full.filter(in_b))
+    return root, a, b, full
+
+
+def test_time_travel_and_current(spark, table):
+    root, a, b, full = table
+    n_a = snaplog.read(spark, root, snapshot_id=a).count()
+    n_all = snaplog.read(spark, root).count()
+    assert snaplog.current_snapshot_id(root) == b
+    assert n_a < n_all == full.count()
+    # as-of ids are first-class through read_table too
+    assert read_table(spark, root, snapshot_id=a).count() == n_a
+    assert read_table(spark, root).count() == n_all
+
+
+def test_incremental_start_exclusive_end_inclusive(spark, table):
+    root, a, b, full = table
+    inc = snaplog.read_incremental(spark, root, start_snapshot_id=a)
+    n_a = snaplog.read(spark, root, snapshot_id=a).count()
+    assert inc.count() == full.count() - n_a  # only B's rows
+    # start == current -> empty slice, schema intact
+    empty = snaplog.read_incremental(spark, root, start_snapshot_id=b)
+    assert empty.count() == 0 and empty.columns == full.columns
+    # end inclusive: (after nothing, up to a] == a's rows
+    assert (
+        snaplog.read_incremental(spark, root, start_snapshot_id=a, end_snapshot_id=a).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="precedes"):
+        snaplog.read_incremental(spark, root, start_snapshot_id=b, end_snapshot_id=a)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        snaplog.read(spark, root, snapshot_id="nope")
+
+
+def test_read_table_routes_incremental_and_fingerprint(spark, table):
+    root, a, b, full = table
+    inc = read_table(spark, root, start_snapshot_id=a)
+    n_a = read_table(spark, root, snapshot_id=a).count()
+    assert inc.count() == full.count() - n_a
+    # fingerprint of a snaplog table is its committed snapshot id
+    assert snapshot_fingerprint(root) == b
+
+
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snaplog.append(spark, root, spark.range(5).select(F.col("id").alias("x")))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snaplog.append(spark, root, spark.range(5).select(F.col("id").alias("y")))
+
+
+def test_snapshot_ids_deterministic(spark, tmp_path):
+    df = files_table(spark, 200)
+    ids = []
+    for name in ("t1", "t2"):
+        root = str(tmp_path / name)
+        ids.append(
+            (snaplog.append(spark, root, df), snaplog.append(spark, root, df.limit(50)))
+        )
+    assert ids[0] == ids[1]  # same content chain -> same ids, no wall clock
+
+
+# ------------------------------------------- end-to-end incremental resume
+def test_runner_incremental_resume_equals_full_run(spark, tmp_path, table):
+    from fences_spark.compiler.ruleset import RuleSet
+    from fences_spark.run.runner import RunConfig, ValidationRunner
+    from fences_spark.synth import LANGS
+
+    root, a, b, full = table
+    rules = (
+        RuleSet()
+        .add("content_nonempty", "content", {"type": "string", "minLength": 1})
+        .add("lang_enum", "lang", {"enum": LANGS})
+    )
+
+    def run(df, out, snap):
+        cfg = RunConfig(output_dir=str(tmp_path / out), run_id=f"r_{out}",
+                        snapshot_id=snap, n_buckets=8)
+        return ValidationRunner(spark, rules, cfg).run(df), cfg
+
+    # initial run over snapshot A, then incremental resume over (a, b]
+    s1, c1 = run(read_table(spark, root, snapshot_id=a), "o1", a)
+    s2, c2 = run(read_table(spark, root, start_snapshot_id=a), "o2", b)
+    n_a = read_table(spark, root, snapshot_id=a).count()
+    assert s1.rows_processed == n_a
+    assert s2.rows_processed == full.count() - n_a  # ONLY the appended rows
+
+    # full-table rerun from scratch == union of the two runs' violations
+    s3, c3 = run(read_table(spark, root), "o3", b)
+    cols = ["repo", "path", "commit", "rule_id"]
+    v12 = (
+        spark.read.parquet(c1.violations_path)
+        .select(*cols)
+        .unionByName(spark.read.parquet(c2.violations_path).select(*cols))
+    )
+    v3 = spark.read.parquet(c3.violations_path).select(*cols)
+    assert v12.exceptAll(v3).count() == 0 and v3.exceptAll(v12).count() == 0
