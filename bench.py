@@ -69,6 +69,7 @@ HEADLINE = [
     "xsd_orders_xml",
     "xsd_violation_paths",
     "validate_dynamic_tree",
+    "json_violation_pointers",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_resize",

@@ -258,3 +258,94 @@ class ValidationRunner:
             "run_id string, snapshot_id string, bucket int, status string, "
             "rows long, secs double",
         ).write.mode("append").parquet(cfg.checkpoint_path)
+
+
+# ---------------------------------------------------------------------------
+# snapshot-incremental resume (snaplog/Iceberg tables)
+# ---------------------------------------------------------------------------
+def last_validated_snapshot(
+    spark: SparkSession, table_root: str, output_dir: str, n_buckets: int = 64
+) -> str | None:
+    """Newest snapshot in the table's log whose validation completed —
+    every bucket checkpointed "done" for that snapshot_id.  Walks the
+    snapshot log newest-first (log order is commit order; checkpoint
+    rows carry no clock), reading only the ≤ runs × n_buckets-row
+    checkpoint table driver-side."""
+    from fences_spark.sources import snaplog
+
+    if not snaplog.is_snaplog_table(table_root):
+        return None
+    try:
+        cp = spark.read.parquet(os.path.join(output_dir, "checkpoint"))
+    except Exception:
+        return None
+    done = (
+        cp.filter(F.col("status") == "done")
+        .groupBy("snapshot_id")
+        .agg(F.countDistinct("bucket").alias("buckets"))
+        .collect()
+    )
+    complete = {r["snapshot_id"] for r in done if r["buckets"] >= n_buckets}
+    for entry in reversed(snaplog.read_log(table_root)):
+        if entry["snapshot_id"] in complete:
+            return entry["snapshot_id"]
+    return None
+
+
+def run_incremental(
+    spark: SparkSession,
+    ruleset: RuleSet,
+    table_root: str,
+    output_dir: str,
+    *,
+    run_id: str | None = None,
+    n_buckets: int = 64,
+    **cfg_kwargs,
+) -> RunSummary | None:
+    """Validate only rows appended since the last fully-validated
+    snapshot of a snapshot-log table (the north rule's
+    ``start-snapshot-id`` resume, BASELINE.json:14, as one call).
+
+    - no prior completed snapshot → full run at the current snapshot;
+    - prior == current → nothing to do, returns ``None``;
+    - otherwise → incremental read (prior, current], validated under
+      run_id ``incr_<current>`` so the checkpoint table records the
+      new snapshot's buckets independently of the old run's.
+
+    Violations/verdicts land in per-snapshot subdirectories of
+    ``output_dir`` (append-only history, mirroring the input's
+    snapshot chain); metrics/checkpoint stay shared so lineage is one
+    table across the chain.
+    """
+    from fences_spark.sources import read_table, snaplog
+
+    current = snaplog.current_snapshot_id(table_root)
+    if current is None:
+        return None
+    prior = last_validated_snapshot(spark, table_root, output_dir, n_buckets)
+    if prior == current:
+        return None
+    if prior is None:
+        df = read_table(spark, table_root, snapshot_id=current)
+    else:
+        df = read_table(
+            spark, table_root, start_snapshot_id=prior, snapshot_id=current
+        )
+    cfg = RunConfig(
+        output_dir=os.path.join(output_dir, f"snap-{current}"),
+        run_id=run_id or f"incr_{current}",
+        snapshot_id=current,
+        n_buckets=n_buckets,
+        **cfg_kwargs,
+    )
+    # shared lineage: metrics + checkpoint live at the table grain
+    runner = ValidationRunner(spark, ruleset, cfg)
+    summary = runner.run(df)
+    for name in ("metrics", "checkpoint"):
+        src = os.path.join(cfg.output_dir, name)
+        dst = os.path.join(output_dir, name)
+        try:
+            spark.read.parquet(src).write.mode("append").parquet(dst)
+        except Exception:
+            pass  # empty run wrote nothing
+    return summary

@@ -166,3 +166,32 @@ def test_runner_incremental_resume_equals_full_run(spark, tmp_path, table):
     )
     v3 = spark.read.parquet(c3.violations_path).select(*cols)
     assert v12.exceptAll(v3).count() == 0 and v3.exceptAll(v12).count() == 0
+
+
+def test_run_incremental_one_call_resume(spark, tmp_path):
+    """run_incremental: full run on first call, appended-rows-only on
+    the second, no-op when already caught up."""
+    from fences_spark.compiler.ruleset import RuleSet
+    from fences_spark.run.runner import last_validated_snapshot, run_incremental
+    from fences_spark.synth import LANGS
+
+    root, out = str(tmp_path / "tbl"), str(tmp_path / "out")
+    full = files_table(spark, 2000)
+    in_b = F.pmod(F.xxhash64("path"), F.lit(3)) == 0
+    a = snaplog.append(spark, root, full.filter(~in_b))
+    rules = RuleSet().add("lang_enum", "lang", {"enum": LANGS})
+
+    s1 = run_incremental(spark, rules, root, out, n_buckets=8)
+    n_a = snaplog.read(spark, root, snapshot_id=a).count()
+    assert s1.rows_processed == n_a and s1.snapshot_id == a
+    assert last_validated_snapshot(spark, root, out, 8) == a
+    assert run_incremental(spark, rules, root, out, n_buckets=8) is None
+
+    b = snaplog.append(spark, root, full.filter(in_b))
+    s2 = run_incremental(spark, rules, root, out, n_buckets=8)
+    assert s2.rows_processed == full.count() - n_a and s2.snapshot_id == b
+    assert last_validated_snapshot(spark, root, out, 8) == b
+    assert run_incremental(spark, rules, root, out, n_buckets=8) is None
+    # lineage is one table across the chain
+    cp = spark.read.parquet(str(tmp_path / "out" / "checkpoint"))
+    assert {r["snapshot_id"] for r in cp.select("snapshot_id").distinct().collect()} == {a, b}
