@@ -92,11 +92,12 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> str:
     """
     log = read_log(root) if is_snaplog_table(root) else []
     parent = log[-1]["snapshot_id"] if log else ""
+    cols = [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
     if log:
         prev_cols = log[-1]["columns"]
-        if list(df.columns) != prev_cols:
+        if cols != prev_cols:
             raise ValueError(
-                f"snapshot schema mismatch: table has {prev_cols}, append has {list(df.columns)}"
+                f"snapshot schema mismatch: table has {prev_cols}, append has {cols}"
             )
     staging = os.path.join(root, "data", f"staging-{uuid.uuid4().hex}")
     df.write.mode("error").parquet(staging)
@@ -119,7 +120,7 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> str:
             "parent_id": parent or None,
             "dir": os.path.relpath(final, root),
             "n_files": len(names),
-            "columns": list(df.columns),
+            "columns": cols,
         }
     )
     _commit(root, log)

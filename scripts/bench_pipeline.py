@@ -73,9 +73,16 @@ def run(rows: int, cores: int, out_dir: str | None, quality_min_pct: float | Non
     from fences_spark.session import get_spark
     from fences_spark.synth import documents_table
 
-    # UI on: the status REST API is the shuffle-volume evidence source
+    # UI on: the status REST API is the shuffle-volume evidence source.
+    # Shuffle partitions sized to ~200k docs each (not a bare `cores`):
+    # the near-dup stages aggregate ~30 exploded shingles per doc, and
+    # a 50M-doc run at 32 partitions put ~47M shingle groups in ONE
+    # hash-agg partition per thread — measured OOM in a 16g JVM.  This
+    # is the partition-sizing rule a 100 TB run needs anyway; AQE
+    # coalesces the small ones back, so tiny runs pay nothing.
+    shufp = max(cores, min(1024, rows // 200_000))
     spark = get_spark(app=f"bench_pipeline_{rows}", cores=cores,
-                      shuffle_partitions=max(cores, 32),
+                      shuffle_partitions=shufp,
                       extra={"spark.ui.enabled": "true"})
     spark.conf.set("spark.fences_spark.ensureParallelism", "off")
     scratch = out_dir or tempfile.mkdtemp(prefix="bench_pipeline_")

@@ -195,3 +195,12 @@ def test_run_incremental_one_call_resume(spark, tmp_path):
     # lineage is one table across the chain
     cp = spark.read.parquet(str(tmp_path / "out" / "checkpoint"))
     assert {r["snapshot_id"] for r in cp.select("snapshot_id").distinct().collect()} == {a, b}
+
+
+def test_append_type_mismatch_raises(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snaplog.append(spark, root, spark.range(5).select(F.col("id").alias("x")))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snaplog.append(
+            spark, root, spark.range(5).select(F.col("id").cast("string").alias("x"))
+        )
