@@ -46,6 +46,14 @@ class RunConfig:
     bucket_keys: tuple[str, ...] = ("repo", "path")
     max_buckets_per_pass: int | None = None  # None = all pending in one job
     key_columns: tuple[str, ...] = ("repo", "path", "commit")
+    # Instance-side violation diagnostics: when True the violations
+    # sink gains a ``pointers array<struct<pointer,keyword>>`` column
+    # per (row, rule) — the RFC-6901 locations from
+    # compiler/pointers.py (JSON dual of the XSD NormalizedXPath
+    # diagnostics, reference json_pointer.py:5-57).  Computed only on
+    # rows that already failed the boolean tier, so the extra cost
+    # scales with the defect rate, not the corpus.
+    pointer_diagnostics: bool = False
 
     @property
     def violations_path(self) -> str:
@@ -182,13 +190,47 @@ class ValidationRunner:
         # violations: exact rows, partitioned by bucket (idempotent
         # dynamic overwrite)
         keep = [c for c in cfg.key_columns if c in annotated.columns]
-        viol = (
-            annotated.filter(~F.col("row_valid"))
-            .select(
+        failing = annotated.filter(~F.col("row_valid"))
+        if cfg.pointer_diagnostics:
+            # One struct per FAILING rule carrying that rule's pointer
+            # entries; cardinality is identical to explode(violations)
+            # (a rule whose pointer tier yields no entries still emits
+            # its row, with an empty array).  The row_valid filter
+            # sits below this projection, so pointer expressions touch
+            # only defective rows.
+            tagged = []
+            for r in self.ruleset.rules:
+                entries, _tier = r.compile_pointers(failing)
+                tagged.append(
+                    F.when(
+                        ~F.col(r.rule_id),
+                        F.struct(
+                            F.lit(r.rule_id).alias("rule_id"),
+                            F.coalesce(
+                                entries,
+                                F.array().cast(
+                                    "array<struct<pointer:string,keyword:string>>"
+                                ),
+                            ).alias("pointers"),
+                        ),
+                    )
+                )
+            per_rule = F.filter(F.array(*tagged), lambda x: x.isNotNull())
+            viol = (
+                failing.select(
+                    "bucket", *keep, F.col("content_sha256"),
+                    F.explode(per_rule).alias("_v"),
+                )
+                .select(
+                    "bucket", *keep, "content_sha256",
+                    "_v.rule_id", "_v.pointers",
+                )
+            )
+        else:
+            viol = failing.select(
                 "bucket", *keep, F.col("content_sha256"),
                 F.explode("violations").alias("rule_id"),
             )
-        )
         self._clear_bucket_partitions(cfg.violations_path, buckets)
         viol.write.mode("overwrite").partitionBy("bucket").parquet(cfg.violations_path)
 

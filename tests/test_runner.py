@@ -136,3 +136,48 @@ def test_bucket_is_content_defined(spark, cfg):
     a = r._with_bucket(files.repartition(2)).select("repo", "path", "bucket")
     b = r._with_bucket(files.repartition(19)).select("repo", "path", "bucket")
     assert a.exceptAll(b).count() == 0
+
+
+def test_pointer_diagnostics_violations_sink(spark, cfg):
+    """pointer_diagnostics=True: the violations sink gains a
+    ``pointers array<struct<pointer,keyword>>`` column locating each
+    violation (vocabulary of compiler/pointers.py), at the SAME
+    (row, rule) cardinality as the plain sink — a rule contributing
+    several pointer entries (empty path fails minLength AND pattern)
+    still writes one sink row with a 2-entry array."""
+    cfg.pointer_diagnostics = True
+    files = files_table(spark, N)
+    ValidationRunner(spark, files_ruleset(), cfg).run(files)
+    viol = spark.read.parquet(cfg.violations_path)
+    assert "pointers" in viol.columns
+
+    exp = expected_defect_counts(N)
+    by_rule = {
+        r["rule_id"]: r["n"]
+        for r in viol.groupBy("rule_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_rule["content_present"] == exp["null_content"] + exp["empty_content"]
+    assert by_rule["lang_enum"] == exp["bad_lang"]
+
+    # scalar rules report root-level pointers with the failing keyword
+    kws = {
+        (r["pointer"], r["keyword"])
+        for r in viol.filter(F.col("rule_id") == "lang_enum")
+        .select(F.explode("pointers").alias("p"))
+        .select("p.pointer", "p.keyword")
+        .distinct()
+        .collect()
+    }
+    assert kws == {("#", "enum")}
+    # null content → type; empty content → minLength (both root-level)
+    kws_c = {
+        r["keyword"]
+        for r in viol.filter(F.col("rule_id") == "content_present")
+        .select(F.explode("pointers").alias("p"))
+        .select("p.keyword")
+        .distinct()
+        .collect()
+    }
+    assert kws_c == {"type", "minLength"}
+    # no (row, rule) sink row carries a NULL pointers array
+    assert viol.filter(F.col("pointers").isNull()).count() == 0
