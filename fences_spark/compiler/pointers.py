@@ -113,9 +113,20 @@ class TypedPointerCompiler(TypedCompiler):
         return self._static(path, self._collector_errors_of(schema, None))
 
     def _collector_errors_of(self, schema: SchemaType, value: Any):
-        return PointerCollector(
-            schema, plugins=self._collector._ev._plugins
-        ).errors(value) if isinstance(schema, (dict, bool)) else []
+        if not isinstance(schema, (dict, bool)):
+            return []
+        try:
+            return PointerCollector(
+                schema, plugins=self._collector._ev._plugins
+            ).errors(value)
+        except Exception as e:  # noqa: BLE001
+            # Rooting a fresh collector at the SUBSCHEMA loses the root
+            # resolution scope: a $ref inside items/prefixItems/
+            # propertyNames (e.g. "#/$defs/x") raises KeyError here.
+            # Surface it as CompileError so the caller's Arrow fallback
+            # (which runs the collector rooted at the FULL schema, refs
+            # intact) engages instead of crashing RuleSet.pointers.
+            raise CompileError(f"sub-collector cannot evaluate: {e!r}") from e
 
     # -- entry point -------------------------------------------------------
     def compile_pointers(self, col: Column, dtype: T.DataType) -> Column:

@@ -292,26 +292,7 @@ def quality_percentiles(
     convention).
     Skew-gated in fences_spark.skewbench (stratum_percentile row).
     """
-    from pyspark.sql import Window
-
-    from fences_spark.operators.text import quality_score
-
-    buckets = 1024
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(strata_col).alias("stratum"),
-        quality_score(F.col(text_col)).alias("quality"),
-    ).withColumn(
-        "b",
-        F.when(F.col("quality").isNull(), F.lit(-1))  # NULLS FIRST, like percent_rank
-        .otherwise(
-            F.greatest(
-                F.lit(0),
-                F.least(F.lit(buckets - 1), F.floor(F.col("quality") * buckets)),
-            )
-        )
-        .cast("int"),
-    )
+    base = _percentile_base(df, id_col, text_col, strata_col)
     if materialize:
         # ONE text scan / quality evaluation: both branches below
         # consume the narrow (doc_id, stratum, quality, b) projection —
@@ -339,11 +320,26 @@ def quality_percentiles_staged(
     """
     from pyspark import StorageLevel
 
+    base = _percentile_base(df, id_col, text_col, strata_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return _assemble_percentiles(base), base.unpersist
+
+
+_PCT_BUCKETS = 1024
+
+
+def _percentile_base(
+    df: DataFrame, id_col: str, text_col: str, strata_col
+) -> DataFrame:
+    """Narrow (doc_id, stratum, quality, b) projection shared by every
+    quality_percentiles entry point; ``strata_col`` is a column name
+    or a Column expression.  The bucket id is monotone in quality with
+    NULLs first (b=-1), matching percent_rank's NULLS FIRST order."""
     from fences_spark.operators.text import quality_score
 
-    buckets = 1024
     stratum = F.col(strata_col) if isinstance(strata_col, str) else strata_col
-    base = df.select(
+    return df.select(
         F.col(id_col).alias("doc_id"),
         stratum.alias("stratum"),
         quality_score(F.col(text_col)).alias("quality"),
@@ -353,12 +349,14 @@ def quality_percentiles_staged(
         .otherwise(
             F.greatest(
                 F.lit(0),
-                F.least(F.lit(buckets - 1), F.floor(F.col("quality") * buckets)),
+                F.least(
+                    F.lit(_PCT_BUCKETS - 1),
+                    F.floor(F.col("quality") * _PCT_BUCKETS),
+                ),
             )
         )
         .cast("int"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    return _assemble_percentiles(base), base.unpersist
+    )
 
 
 def _assemble_percentiles(base: DataFrame) -> DataFrame:

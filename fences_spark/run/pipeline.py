@@ -132,9 +132,10 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
             .select(F.col("doc_id").alias(idc))
         )
         banded = kept.join(band_ids, idc).persist(StorageLevel.MEMORY_AND_DISK)
-        kept.unpersist()
+        prev = kept
         kept = banded
-        kept_after_quality = kept.count()
+        kept_after_quality = kept.count()  # materializes banded...
+        prev.unpersist()  # ...THEN release the parent cache it read from
 
     # 3. near-dup dedup (keep cluster canonicals) ------------------------
     pairs = minhash_lsh_pairs(kept, idc, txc)

@@ -363,7 +363,16 @@ def run_incremental(
 
     current = snaplog.current_snapshot_id(table_root)
     if current is None:
-        return None
+        # Don't silently no-op: None is indistinguishable from the
+        # legitimate "already caught up" return below, so a caller
+        # pointing this at a catalog identifier or a bad path would
+        # believe validation is current while nothing ran.
+        raise ValueError(
+            f"{table_root!r} is not a snapshot-log table; for catalog "
+            "(Iceberg) sources drive the runner directly with "
+            "read_table(..., start_snapshot_id=..., snapshot_id=...) "
+            "from the catalog's own snapshot ids"
+        )
     prior = last_validated_snapshot(spark, table_root, output_dir, n_buckets)
     if prior == current:
         return None
@@ -386,8 +395,10 @@ def run_incremental(
     for name in ("metrics", "checkpoint"):
         src = os.path.join(cfg.output_dir, name)
         dst = os.path.join(output_dir, name)
-        try:
+        # precise guard for "empty run wrote nothing"; a real write
+        # failure (permissions, disk) must propagate — swallowing it
+        # would leave the snapshot permanently incomplete with no
+        # signal, re-walking the same range on every resume
+        if os.path.isdir(src):
             spark.read.parquet(src).write.mode("append").parquet(dst)
-        except Exception:
-            pass  # empty run wrote nothing
     return summary

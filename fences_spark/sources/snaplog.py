@@ -44,6 +44,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,6 +114,12 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> str:
         "\n".join([parent, *map(str, sizes)]).encode()
     ).hexdigest()[:16]
     final = os.path.join(root, "data", f"snap-{snap_id}")
+    if os.path.isdir(final):
+        # orphan from an attempt that crashed between os.replace and
+        # _commit: invisible to readers (not in the log), and the
+        # deterministic snap_id means this retry IS that attempt —
+        # clear it so the retry isn't permanently wedged on ENOTEMPTY.
+        shutil.rmtree(final)
     os.replace(staging, final)
     log.append(
         {

@@ -24,7 +24,9 @@ analog — SURVEY.md §2.B.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
@@ -113,6 +115,18 @@ def start_drift_stream(
         out.write.mode("overwrite").parquet(
             os.path.join(cfg.drift_path, f"epoch_id={epoch_id}")
         )
+
+    # Epoch ids are only unique WITHIN one checkpoint lineage.  If the
+    # checkpoint has no committed batches (fresh or reset), numbering
+    # restarts at 0 and any existing epoch_id>=0 partition belongs to
+    # a previous lineage: its windows may re-finalize under different
+    # epoch numbers, so per-epoch overwrite alone would leave stale
+    # duplicate w_epoch rows.  Clear them up front; a RESUMED
+    # checkpoint (commits present) keeps its data untouched.
+    if not os.path.isdir(os.path.join(cfg.drift_checkpoint, "commits")):
+        for d in glob.glob(os.path.join(cfg.drift_path, "epoch_id=*")):
+            if os.path.basename(d) != "epoch_id=-1":
+                shutil.rmtree(d, ignore_errors=True)
 
     # pre-create the sink with its schema (under the reserved
     # epoch_id=-1 partition so the directory layout stays uniform): a

@@ -336,3 +336,40 @@ class TestColumnTiers:
             (3, "code_ok", "#", "type"),  # NULL cell = JSON null
             (3, "payload_ok", "#", "json"),
         ]
+
+    def test_ref_in_items_falls_back_not_crashes(self, spark):
+        """A $ref inside items/propertyNames used to raise KeyError at
+        compile time (the null-branch sub-collector was rooted at the
+        SUBSCHEMA, losing the root $defs scope) instead of CompileError
+        — crashing RuleSet.pointers outright.  Now it surfaces as
+        CompileError, the Arrow fallback engages, and pointers come out
+        right (found by round-4 self-review)."""
+        from fences_spark.compiler.ruleset import RuleSet
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -2.0]), (2, None)], "id long, arr array<double>"
+        )
+        schema = {
+            "type": "array",
+            "items": {"$ref": "#/$defs/pos"},
+            "$defs": {"pos": {"type": "number", "exclusiveMinimum": 0}},
+        }
+        rs = RuleSet().add("pos_arr", "arr", schema)
+        got = sorted(map(tuple, rs.pointers(rs.apply(df).df, "id").collect()))
+        assert got == [
+            (1, "pos_arr", "#/1", "exclusiveMinimum"),
+            (2, "pos_arr", "#", "type"),
+        ]
+
+        dfj = spark.createDataFrame([(1, '{"bad key": 1}')], "id long, j string")
+        rs2 = RuleSet().add(
+            "pn", "j",
+            {
+                "type": "object",
+                "propertyNames": {"$ref": "#/$defs/name"},
+                "$defs": {"name": {"pattern": "^[a-z]+$"}},
+            },
+            mode="json",
+        )
+        got2 = sorted(map(tuple, rs2.pointers(rs2.apply(dfj).df, "id").collect()))
+        assert got2 == [(1, "pn", "#", "pattern")]

@@ -204,3 +204,25 @@ def test_append_type_mismatch_raises(spark, tmp_path):
         snaplog.append(
             spark, root, spark.range(5).select(F.col("id").cast("string").alias("x"))
         )
+
+
+def test_append_retry_after_crash_between_replace_and_commit(spark, tmp_path, monkeypatch):
+    """Crash window 1: data dir moved to its final snap-<id> location
+    but the log commit never ran.  The orphan is invisible to readers
+    (documented), and — because snap_id is deterministic — the retry
+    regenerates the SAME id; it must clear the orphan and commit, not
+    wedge forever on os.replace ENOTEMPTY (found by round-4 review)."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(100).select(F.col("id").alias("x"))
+
+    real_commit = snaplog._commit
+    monkeypatch.setattr(snaplog, "_commit", lambda *a: (_ for _ in ()).throw(OSError("crash")))
+    with pytest.raises(OSError, match="crash"):
+        snaplog.append(spark, root, df)
+    monkeypatch.setattr(snaplog, "_commit", real_commit)
+
+    assert not snaplog.is_snaplog_table(root)  # orphan invisible
+    sid = snaplog.append(spark, root, df)  # retry must succeed
+    log = snaplog.read_log(root)
+    assert [s["snapshot_id"] for s in log] == [sid]
+    assert snaplog.read(spark, root, snapshot_id=sid).count() == 100

@@ -436,3 +436,61 @@ class TestStreamingDrift:
         # epoch_id is a discoverable partition column of one type
         sch = dict(spark.read.parquet(cfg.drift_path).dtypes)
         assert "epoch_id" in sch
+
+    def test_checkpoint_reset_clears_stale_epochs(self, spark, tmp_path_factory):
+        """Epoch ids are unique only within one checkpoint lineage.
+        Run 1 finalizes window 0 in epoch 0, then resumes and
+        finalizes window 1 in epoch 1.  A fresh checkpoint re-runs
+        everything in ONE epoch 0 — per-epoch overwrite alone would
+        leave the old epoch_id=1 rows as stale duplicates of window 1.
+        start_drift_stream must clear epoch partitions when the
+        checkpoint has no committed batches (round-4 review finding)."""
+        from fences_spark.streaming.drift import DriftStreamConfig, start_drift_stream
+
+        root = tmp_path_factory.mktemp("sdrift_reset")
+        src = str(root / "src")
+        base = spark.createDataFrame([("a", 50), ("b", 50)], "bucket string, cnt long")
+        cfg = DriftStreamConfig(output_dir=str(root / "out"))
+
+        def run_once() -> None:
+            schema = "event_id long, event_type string, ts timestamp"
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = start_drift_stream(
+                stream, base, cfg, col="event_type",
+                window_len="1 hour", delay="30 minutes",
+            )
+            q.awaitTermination(120)
+            assert not q.isActive
+
+        # batch 1: window 0 + a sentinel that finalizes it
+        rows1 = [(i, et, T0 + timedelta(minutes=i)) for i, et in enumerate(["a", "b"])]
+        rows1.append((20, "b", T0 + timedelta(hours=2, minutes=40)))
+        spark.createDataFrame(
+            rows1, "event_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()  # epoch 0: window 0
+
+        # batch 2 (checkpoint RESUMED): rows into window 3 plus a later
+        # sentinel that finalizes it → epoch 1 writes window 3
+        rows2 = [(30 + i, "a", T0 + timedelta(hours=3, minutes=i)) for i in range(2)]
+        rows2.append((40, "b", T0 + timedelta(hours=5, minutes=40)))
+        spark.createDataFrame(
+            rows2, "event_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()  # epoch 1: window 3
+
+        lineage1 = sorted(map(tuple, spark.read.parquet(cfg.drift_path)
+                              .select("w_epoch", "psi", "tvd", "n_current").collect()))
+        # run 1 finalized window 0; run 2's watermark also finalized
+        # run 1's sentinel window (14:00) alongside window 3 (15:00)
+        assert len(lineage1) == 3
+
+        # checkpoint reset: one epoch 0 re-finalizes BOTH windows
+        import shutil
+        shutil.rmtree(cfg.drift_checkpoint)
+        run_once()
+        lineage2 = sorted(map(tuple, spark.read.parquet(cfg.drift_path)
+                              .select("w_epoch", "psi", "tvd", "n_current").collect()))
+        assert lineage2 == lineage1  # same windows once each, no stale rows
+        w = spark.read.parquet(cfg.drift_path).groupBy("w_epoch").count().collect()
+        assert all(r["count"] == 1 for r in w)
