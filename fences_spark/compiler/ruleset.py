@@ -233,6 +233,33 @@ class RuleSet:
         out = out.withColumn("row_valid", all_ok).withColumn("violations", failed)
         return ValidationResult(out, rule_ids, tiers)
 
+    def pointer_entries_per_rule(self, df: DataFrame) -> Column:
+        """``array<struct<rule_id, pointers>>`` with one element per
+        FAILING rule (requires the per-rule boolean columns of
+        :meth:`apply` to be present), each carrying that rule's
+        pointer entries — empty array if the pointer tier yields no
+        location for a failing rule, so cardinality always equals the
+        ``violations`` array.  Shared by the batch runner's
+        diagnostics sink and the streaming annotate path."""
+        tagged = []
+        for r in self.rules:
+            entries, _tier = r.compile_pointers(df)
+            tagged.append(
+                F.when(
+                    ~F.col(r.rule_id),
+                    F.struct(
+                        F.lit(r.rule_id).alias("rule_id"),
+                        F.coalesce(
+                            entries,
+                            F.array().cast(
+                                "array<struct<pointer:string,keyword:string>>"
+                            ),
+                        ).alias("pointers"),
+                    ),
+                )
+            )
+        return F.filter(F.array(*tagged), lambda x: x.isNotNull())
+
     def pointers(self, df: DataFrame, *keep: str) -> DataFrame:
         """Instance-side violation diagnostics: one row per (input
         row, rule, violation location) — columns ``keep...`` +

@@ -198,24 +198,7 @@ class ValidationRunner:
             # its row, with an empty array).  The row_valid filter
             # sits below this projection, so pointer expressions touch
             # only defective rows.
-            tagged = []
-            for r in self.ruleset.rules:
-                entries, _tier = r.compile_pointers(failing)
-                tagged.append(
-                    F.when(
-                        ~F.col(r.rule_id),
-                        F.struct(
-                            F.lit(r.rule_id).alias("rule_id"),
-                            F.coalesce(
-                                entries,
-                                F.array().cast(
-                                    "array<struct<pointer:string,keyword:string>>"
-                                ),
-                            ).alias("pointers"),
-                        ),
-                    )
-                )
-            per_rule = F.filter(F.array(*tagged), lambda x: x.isNotNull())
+            per_rule = self.ruleset.pointer_entries_per_rule(failing)
             viol = (
                 failing.select(
                     "bucket", *keep, F.col("content_sha256"),

@@ -51,11 +51,28 @@ class StreamConfig:
         return os.path.join(self.output_dir, "stream_checkpoint")
 
 
-def annotate_stream(stream_df: DataFrame, ruleset: RuleSet, cfg: StreamConfig) -> DataFrame:
+def annotate_stream(
+    stream_df: DataFrame,
+    ruleset: RuleSet,
+    cfg: StreamConfig,
+    *,
+    pointer_diagnostics: bool = False,
+) -> DataFrame:
     """Narrow verdict projection over a streaming DataFrame: input
     columns + per-rule booleans + row_valid + violations + bucket +
-    content sha256 invariant."""
+    content sha256 invariant.  ``pointer_diagnostics=True`` adds a
+    ``violation_pointers array<struct<rule_id, pointers>>`` column
+    (NULL on valid rows) — the streaming dual of
+    ``RunConfig(pointer_diagnostics=True)``; the projection stays
+    narrow and stateless."""
     res = ruleset.apply(stream_df)
+    if pointer_diagnostics:
+        res.df = res.df.withColumn(
+            "violation_pointers",
+            F.when(
+                ~F.col("row_valid"), ruleset.pointer_entries_per_rule(res.df)
+            ),
+        )
     if "bucket" in stream_df.columns:
         # caller pre-bucketed (e.g. a cross-engine-reproducible key);
         # keep it — xxhash64 is Spark-only and an oracle can't re-derive it

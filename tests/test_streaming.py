@@ -78,3 +78,32 @@ def test_stream_incremental_resume(spark, stream_dirs):
     after = spark.read.parquet(cfg.rows_path)
     assert after.count() == before + extra.count()
     assert after.filter(F.col("repo").startswith("late/")).count() == extra.count()
+
+
+def test_annotate_stream_pointer_diagnostics(spark, stream_dirs):
+    """pointer_diagnostics=True on the streaming annotate path: a
+    violation_pointers column (NULL on valid rows) whose per-rule
+    entries match RuleSet.pointers on the same batch — the streaming
+    dual of RunConfig(pointer_diagnostics=True)."""
+    from fences_spark.streaming.validate import annotate_stream
+
+    src, out = stream_dirs
+    # annotate_stream is a pure projection: drive it on the batch
+    # frame (identical plan to the micro-batch case, no state)
+    df = spark.read.parquet(src)
+    ann = annotate_stream(
+        df, files_ruleset(), StreamConfig(output_dir=out), pointer_diagnostics=True
+    )
+    assert "violation_pointers" in ann.columns
+    assert ann.filter(F.col("row_valid") & F.col("violation_pointers").isNotNull()).count() == 0
+    got = (
+        ann.filter(~F.col("row_valid"))
+        .select("repo", "path", F.explode("violation_pointers").alias("v"))
+        .select("repo", "path", "v.rule_id", F.explode("v.pointers").alias("p"))
+        .select("repo", "path", "rule_id", "p.pointer", "p.keyword")
+    )
+    want = files_ruleset().pointers(
+        files_ruleset().apply(df).df.filter(~F.col("row_valid")), "repo", "path"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
