@@ -48,6 +48,11 @@ class PipelineConfig:
     strata_col: str | None = None  # None -> one global stratum
     pack_budget: int = 256
     n_shards: int = 8
+    # instance-pointer diagnostics on the violations sink (the
+    # pipeline analog of RunConfig.pointer_diagnostics): the sink rows
+    # become (id, rule_id, pointer, keyword) — one row per violation
+    # LOCATION — instead of (id, rule_id)
+    pointer_diagnostics: bool = False
 
     def path(self, name: str) -> str:
         return os.path.join(self.output_dir, name)
@@ -90,7 +95,11 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
         rs.add(rule_id, txc, schema)
     res = rs.apply(docs)
     res.verdicts().write.mode("overwrite").parquet(cfg.path("verdicts"))
-    res.violations(idc).write.mode("overwrite").parquet(cfg.path("violations"))
+    if cfg.pointer_diagnostics:
+        viol = rs.pointers(res.df.filter(~F.col("row_valid")), idc)
+    else:
+        viol = res.violations(idc)
+    viol.write.mode("overwrite").parquet(cfg.path("violations"))
     valid = res.df.filter(F.col("row_valid")).select(docs.columns).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -71,3 +71,23 @@ def test_shard_order_is_the_training_order(result):
         corpus.select("doc_id", "text"), "doc_id", n_shards=4).collect()}
     got = {(r["doc_id"], r["shard"], r["rnk"]) for r in corpus.collect()}
     assert got == want
+
+
+def test_pointer_diagnostics_violations_sink(spark, tmp_path_factory):
+    """PipelineConfig(pointer_diagnostics=True): the violations sink
+    carries (doc_id, rule_id, pointer, keyword) — one row per
+    violation location — instead of the plain (doc_id, rule_id)."""
+    out = str(tmp_path_factory.mktemp("pipeline_ptr"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.select("doc_id", "text").limit(50)
+    extra = spark.createDataFrame([(900001, ""), (900003, None)], ["doc_id", "text"])
+    cfg = PipelineConfig(output_dir=out, n_shards=2, pointer_diagnostics=True)
+    run_pipeline(spark, base.unionByName(extra), cfg)
+    viol = spark.read.parquet(os.path.join(out, "violations"))
+    assert sorted(viol.columns) == ["doc_id", "keyword", "pointer", "rule_id"]
+    got = {(r["doc_id"], r["rule_id"], r["pointer"], r["keyword"])
+           for r in viol.collect()}
+    # empty text -> minLength at root; NULL text -> type at root
+    assert (900001, "text_present", "#", "minLength") in got
+    assert (900003, "text_present", "#", "type") in got
+    assert all(d in (900001, 900003) for d, *_ in got)
