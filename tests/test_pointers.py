@@ -373,3 +373,112 @@ class TestColumnTiers:
         )
         got2 = sorted(map(tuple, rs2.pointers(rs2.apply(dfj).df, "id").collect()))
         assert got2 == [(1, "pn", "#", "pattern")]
+
+
+# ------------------------------------------------------------------
+# seeded random cross-tier fuzz: compile_pointers (typed builtin tier
+# with Arrow fallback) must equal the reference PointerCollector on
+# random scalar/array schemas over random typed cells — the pointer
+# dual of test_fuzz_spark_tier's boolean conformance fuzz.
+# ------------------------------------------------------------------
+def _rand_string_schema(rng):
+    s = {"type": "string"}
+    if rng.random() < 0.6:
+        s["minLength"] = rng.randint(0, 6)
+    if rng.random() < 0.6:
+        s["maxLength"] = rng.randint(2, 10)
+    if rng.random() < 0.5:
+        s["pattern"] = rng.choice(
+            ["^[a-z]+$", "^[-\\w.]+$", "ab", "^x", "[0-9]{2}", "^$|^a+b$"]
+        )
+    if rng.random() < 0.25:
+        s["enum"] = rng.sample(["", "a", "ab", "xy", "héllo", "x" * 8], k=rng.randint(1, 4))
+    return s
+
+
+def _rand_number_schema(rng):
+    s = {"type": rng.choice(["number", "integer", "number"])}
+    if rng.random() < 0.6:
+        s["minimum"] = rng.choice([-5, 0, 1, 2.5, 7])
+    if rng.random() < 0.6:
+        s["maximum"] = rng.choice([-1, 0, 3, 9.5, 100])
+    if rng.random() < 0.3:
+        s["exclusiveMinimum"] = rng.choice([-2, 0, 4])
+    if rng.random() < 0.3:
+        s["exclusiveMaximum"] = rng.choice([1, 6, 50])
+    if rng.random() < 0.3:
+        s["multipleOf"] = rng.choice([1, 2, 3, 0.5])
+    return s
+
+
+def _rand_array_schema(rng):
+    s = {"type": "array", "items": _rand_number_schema(rng)}
+    if rng.random() < 0.5:
+        s["minItems"] = rng.randint(0, 3)
+    if rng.random() < 0.5:
+        s["maxItems"] = rng.randint(1, 4)
+    if rng.random() < 0.4:
+        s["uniqueItems"] = True
+    return s
+
+
+class TestPointerFuzz:
+    def _check(self, spark, dtype, schemas, cells):
+        """Compile every schema against one column of ``dtype``; every
+        (cell, schema) pair must reproduce PointerCollector exactly
+        (order-insensitive — the typed tier sorts entries)."""
+        df = spark.createDataFrame([(c,) for c in cells], T.StructType(
+            [T.StructField("v", dtype)]))
+        cols, tiers = [], set()
+        for i, s in enumerate(schemas):
+            col, tier = compile_pointers(s, df["v"], dtype)
+            tiers.add(tier)
+            cols.append(col.alias(f"s{i}"))
+        rows = df.select(*cols).collect()
+        bad = []
+        for cell, row in zip(cells, rows):
+            for i, s in enumerate(schemas):
+                got = sorted((e["pointer"], e["keyword"]) for e in row[f"s{i}"])
+                want = sorted(violation_pointers(cell, s))
+                if got != want:
+                    bad.append((s, cell, got, want))
+        assert not bad, bad[:5]
+        return tiers
+
+    def test_string_schemas(self, spark):
+        import random
+
+        rng = random.Random(20260821)
+        schemas = [_rand_string_schema(rng) for _ in range(30)]
+        cells = [None, "", "a", "ab", "abc", "x" * 7, "x" * 11, "héllo",
+                 "A9", "a-b.c", "12", "xyz", "ab\ncd"] + [
+            "".join(rng.choice("abxy z.-09é") for _ in range(rng.randint(0, 9)))
+            for _ in range(25)
+        ]
+        tiers = self._check(spark, T.StringType(), schemas, cells)
+        assert "typed_builtin" in tiers
+
+    def test_number_schemas(self, spark):
+        import random
+
+        rng = random.Random(20260822)
+        schemas = [_rand_number_schema(rng) for _ in range(30)]
+        cells = [None, -5.0, -1.0, 0.0, 0.5, 1.0, 2.5, 3.0, 4.0, 6.0,
+                 7.0, 9.5, 50.0, 100.0, 101.0, 1e9, -0.0, 0.3] + [
+            rng.choice([float(rng.randint(-10, 110)), rng.uniform(-10, 110)])
+            for _ in range(25)
+        ]
+        tiers = self._check(spark, T.DoubleType(), schemas, cells)
+        assert "typed_builtin" in tiers
+
+    def test_array_schemas(self, spark):
+        import random
+
+        rng = random.Random(20260823)
+        schemas = [_rand_array_schema(rng) for _ in range(25)]
+        cells = [None, [], [1.0], [0.0, 2.0], [2.0, 2.0], [-3.0, 0.5, 9.0],
+                 [1.0, 2.0, 3.0, 4.0, 5.0]] + [
+            [float(rng.randint(-5, 12)) for _ in range(rng.randint(0, 5))]
+            for _ in range(20)
+        ]
+        self._check(spark, T.ArrayType(T.DoubleType()), schemas, cells)
