@@ -240,10 +240,20 @@ class RuleSet:
         pointer entries — empty array if the pointer tier yields no
         location for a failing rule, so cardinality always equals the
         ``violations`` array.  Shared by the batch runner's
-        diagnostics sink and the streaming annotate path."""
+        diagnostics sink and the streaming annotate path.
+
+        A rule whose mode has no JSON-pointer vocabulary (XML — its
+        diagnostics are XPath-shaped, schema/xsd.py) contributes its
+        failing-rule element with an EMPTY pointers array rather than
+        aborting the run: the flag is a sink enrichment, never a new
+        failure mode."""
+        empty = F.array().cast("array<struct<pointer:string,keyword:string>>")
         tagged = []
         for r in self.rules:
-            entries, _tier = r.compile_pointers(df)
+            try:
+                entries, _tier = r.compile_pointers(df)
+            except CompileError:
+                entries = empty
             tagged.append(
                 F.when(
                     ~F.col(r.rule_id),

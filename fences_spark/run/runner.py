@@ -375,13 +375,17 @@ def run_incremental(
     # shared lineage: metrics + checkpoint live at the table grain
     runner = ValidationRunner(spark, ruleset, cfg)
     summary = runner.run(df)
+    from fences_spark import fsutil
+
     for name in ("metrics", "checkpoint"):
         src = os.path.join(cfg.output_dir, name)
         dst = os.path.join(output_dir, name)
         # precise guard for "empty run wrote nothing"; a real write
         # failure (permissions, disk) must propagate — swallowing it
         # would leave the snapshot permanently incomplete with no
-        # signal, re-walking the same range on every resume
-        if os.path.isdir(src):
+        # signal, re-walking the same range on every resume.  The
+        # existence check goes through the Hadoop FS API so remote
+        # (hdfs://, s3a://) output_dirs behave like local ones.
+        if fsutil.exists(spark, src):
             spark.read.parquet(src).write.mode("append").parquet(dst)
     return summary

@@ -115,10 +115,23 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> str:
     ).hexdigest()[:16]
     final = os.path.join(root, "data", f"snap-{snap_id}")
     if os.path.isdir(final):
-        # orphan from an attempt that crashed between os.replace and
-        # _commit: invisible to readers (not in the log), and the
-        # deterministic snap_id means this retry IS that attempt —
-        # clear it so the retry isn't permanently wedged on ENOTEMPTY.
+        # Either an orphan from OUR attempt that crashed between
+        # os.replace and _commit (invisible to readers — not in the
+        # log — and the deterministic snap_id means this retry IS that
+        # attempt: clear it so the retry isn't permanently wedged on
+        # ENOTEMPTY), or a CONCURRENT writer racing us from the same
+        # parent.  Re-read the log to tell them apart: a committed
+        # snap-<id> must never be silently deleted — the table is
+        # single-writer by contract (like a single Iceberg committer),
+        # so surface the race loudly instead.
+        fresh = read_log(root) if is_snaplog_table(root) else []
+        if any(s["snapshot_id"] == snap_id for s in fresh):
+            shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(
+                f"concurrent append detected: snapshot {snap_id} was "
+                "committed by another writer while this append was in "
+                "flight; snaplog tables are single-writer"
+            )
         shutil.rmtree(final)
     os.replace(staging, final)
     log.append(

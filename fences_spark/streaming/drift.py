@@ -24,9 +24,7 @@ analog — SURVEY.md §2.B.
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
@@ -122,11 +120,16 @@ def start_drift_stream(
     # a previous lineage: its windows may re-finalize under different
     # epoch numbers, so per-epoch overwrite alone would leave stale
     # duplicate w_epoch rows.  Clear them up front; a RESUMED
-    # checkpoint (commits present) keeps its data untouched.
-    if not os.path.isdir(os.path.join(cfg.drift_checkpoint, "commits")):
-        for d in glob.glob(os.path.join(cfg.drift_path, "epoch_id=*")):
-            if os.path.basename(d) != "epoch_id=-1":
-                shutil.rmtree(d, ignore_errors=True)
+    # checkpoint (commits present) keeps its data untouched.  All
+    # checks go through the Hadoop FS API so remote checkpoint/sink
+    # schemes behave like local paths.
+    from fences_spark import fsutil
+
+    sess = stream_df.sparkSession
+    if not fsutil.exists(sess, os.path.join(cfg.drift_checkpoint, "commits")):
+        for d in fsutil.list_dirs(sess, cfg.drift_path, "epoch_id=*"):
+            if not d.rstrip("/").endswith("epoch_id=-1"):
+                fsutil.delete(sess, d)
 
     # pre-create the sink with its schema (under the reserved
     # epoch_id=-1 partition so the directory layout stays uniform): a

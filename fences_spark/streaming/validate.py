@@ -64,7 +64,17 @@ def annotate_stream(
     ``violation_pointers array<struct<rule_id, pointers>>`` column
     (NULL on valid rows) — the streaming dual of
     ``RunConfig(pointer_diagnostics=True)``; the projection stays
-    narrow and stateless."""
+    narrow and stateless.
+
+    Cost note: rules whose pointers compile on the TYPED tier stay
+    conditional (codegen short-circuits the ``when`` branch, so cost
+    tracks the defect rate, as in the batch runner).  Rules that fall
+    to the ARROW tier do NOT: Spark extracts pandas UDFs out of
+    conditional branches and evaluates them per row, so a json-mode
+    rule's PointerCollector runs on every streamed row.  For
+    high-volume streams keep diagnostics to typed-tier rules, or
+    attach pointers downstream on the (tiny) invalid subset with
+    ``RuleSet.pointers`` inside ``foreachBatch``."""
     res = ruleset.apply(stream_df)
     if pointer_diagnostics:
         res.df = res.df.withColumn(

@@ -236,3 +236,30 @@ class TestComplexContent:
         assert not validate_xml(missing_version, schema)
         assert not validate_xml(bad_base_id, schema)       # base facet enforced
         assert validate_xml(wildcard_extra, schema)        # xs:any permits extras
+
+
+def test_xml_rule_in_pointer_diagnostics_does_not_abort(spark, person_schema):
+    """A mixed ruleset (XML + JSON-pointer-capable rules) under
+    pointer_entries_per_rule: the XML rule has no JSON-pointer
+    vocabulary (its diagnostics are XPath-shaped) — it must contribute
+    its failing-rule element with an EMPTY pointers array, not abort
+    the run with CompileError (round-4 review finding)."""
+    from pyspark.sql import functions as F
+
+    from fences_spark.compiler.ruleset import RuleSet
+
+    bad_xml = next(iter(INVALID_PERSONS.values()))
+    df = spark.createDataFrame(
+        [(VALID_PERSON, "ok"), (bad_xml, "")], ["doc", "tag"]
+    )
+    rs = RuleSet()
+    rs.add("person_ok", "doc", person_schema, mode="xml")
+    rs.add("tag_present", "tag", {"type": "string", "minLength": 1})
+    res = rs.apply(df)
+    ann = res.df.withColumn("vp", rs.pointer_entries_per_rule(res.df))
+    rows = {r["tag"]: r for r in ann.collect()}
+    bad = rows[""]
+    got = {e["rule_id"]: [(p["pointer"], p["keyword"]) for p in e["pointers"]]
+           for e in bad["vp"]}
+    assert got == {"person_ok": [], "tag_present": [("#", "minLength")]}
+    assert rows["ok"]["vp"] == []
