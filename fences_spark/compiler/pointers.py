@@ -475,12 +475,21 @@ def compile_typed_pointers(
 # Arrow tier: PointerCollector over a JSON-string column
 # ---------------------------------------------------------------------------
 
-def pointer_udf(schema: SchemaType, resources: dict | None = None) -> Any:
+def pointer_udf(
+    schema: SchemaType, resources: dict | None = None, *, gated: bool = False
+) -> Any:
     """Arrow-vectorized pointer extraction for a column of JSON text.
     Schema + resources ship once per task in the closure; one Python
     call per Arrow batch.  A malformed JSON cell reports a single
     root-level ``(#, json)`` entry (parse failure has no deeper
-    location); a SQL-NULL cell is JSON null."""
+    location); a SQL-NULL cell is JSON null.
+
+    ``gated=True`` flips the NULL convention: a SQL-NULL input means
+    "this row doesn't need pointers" and short-circuits to ``[]``.
+    Callers pass ``F.when(gate, json_col)`` so passing rows cross the
+    Arrow boundary as nulls and cost ~nothing Python-side — how
+    per-failing-rule gating keeps the Arrow tier defect-rate-
+    proportional even in un-filterable (streaming) projections."""
     schema_blob = json.dumps(schema)
     resources_blob = json.dumps(resources or {})
     from fences_spark.compiler.plugins import snapshot
@@ -497,6 +506,8 @@ def pointer_udf(schema: SchemaType, resources: dict | None = None) -> Any:
         for srs in batches:
             def one(x: Any) -> list:
                 if x is None:
+                    if gated:
+                        return []
                     doc = None
                 else:
                     try:

@@ -72,24 +72,45 @@ class Rule:
         except CompileError:
             return self._typed_arrow_fallback(col, dtype)
 
-    def compile_pointers(self, df: DataFrame) -> tuple[Column, str]:
+    def compile_pointers(
+        self, df: DataFrame, gate: Column | None = None
+    ) -> tuple[Column, str]:
         """Violation-pointer column (``array<struct<pointer,keyword>>``)
         for this rule — the instance-side JSON-pointer diagnostics of
         fences_spark.schema.pointers (vocabulary arbitrated against
         jsonschema error paths; reference path model
         fences/json_schema/json_pointer.py:5-57).  Tiering mirrors
-        :meth:`compile`: typed builtin first, Arrow fallback."""
+        :meth:`compile`: typed builtin first, Arrow fallback.
+
+        ``gate`` (a boolean Column): rows where it is false don't need
+        this rule's pointers — the Arrow tiers ship them across the
+        batch boundary as NULLs and short-circuit Python-side, so the
+        UDF cost tracks the gate's selectivity even in projections
+        that cannot pre-filter (streaming).  Entries on gated-off rows
+        are unspecified; the typed tier ignores the gate (its ``when``
+        branches are already conditional in codegen)."""
         from pyspark.sql import types as T
 
         from fences_spark.compiler.pointers import (
-            compile_json_pointers,
             compile_typed_pointers,
             pointer_udf,
         )
 
+        def _gated(json_col: Column) -> Column:
+            if gate is None:
+                return json_col
+            # NULL now means "gated off"; a legitimate SQL-NULL cell
+            # (JSON null instance) becomes the JSON text "null"
+            return F.when(gate, F.coalesce(json_col, F.lit("null")))
+
         col = df[self.column]
         if self.mode == "json":
-            return compile_json_pointers(self.schema, col, self.resources)
+            return (
+                pointer_udf(self.schema, self.resources, gated=gate is not None)(
+                    _gated(col)
+                ),
+                "arrow_udf",
+            )
         if self.mode == "xml":
             raise CompileError(
                 "XML diagnostics use compile_xml_paths (XPath vocabulary)"
@@ -100,9 +121,12 @@ class Rule:
             # same JSON-lift as _typed_arrow_fallback; entries come
             # back rooted at the 1-element wrapper array — re-root
             # "#/0…" → "#…"
+            g = gate is not None
             if isinstance(dt, T.StringType):
                 lifted = {"prefixItems": [self.schema]}
-                raw = pointer_udf(lifted, self.resources)(F.to_json(F.array(c)))
+                raw = pointer_udf(lifted, self.resources, gated=g)(
+                    _gated(F.to_json(F.array(c)))
+                )
                 return F.transform(
                     raw,
                     lambda e: F.struct(
@@ -112,7 +136,9 @@ class Rule:
                         e.getField("keyword").alias("keyword"),
                     ),
                 )
-            return pointer_udf(self.schema, self.resources)(F.to_json(c))
+            return pointer_udf(self.schema, self.resources, gated=g)(
+                _gated(F.to_json(c))
+            )
 
         if self.resources:
             return _arrow(col, dtype), "arrow_udf"
@@ -251,7 +277,11 @@ class RuleSet:
         tagged = []
         for r in self.rules:
             try:
-                entries, _tier = r.compile_pointers(df)
+                # gate each rule's pointer evaluation on ITS OWN
+                # failure: Arrow-tier rules then do Python work only
+                # for rows failing that rule, even when the caller
+                # cannot pre-filter (streaming projections)
+                entries, _tier = r.compile_pointers(df, gate=~F.col(r.rule_id))
             except CompileError:
                 entries = empty
             tagged.append(

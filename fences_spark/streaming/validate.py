@@ -66,15 +66,12 @@ def annotate_stream(
     ``RunConfig(pointer_diagnostics=True)``; the projection stays
     narrow and stateless.
 
-    Cost note: rules whose pointers compile on the TYPED tier stay
-    conditional (codegen short-circuits the ``when`` branch, so cost
-    tracks the defect rate, as in the batch runner).  Rules that fall
-    to the ARROW tier do NOT: Spark extracts pandas UDFs out of
-    conditional branches and evaluates them per row, so a json-mode
-    rule's PointerCollector runs on every streamed row.  For
-    high-volume streams keep diagnostics to typed-tier rules, or
-    attach pointers downstream on the (tiny) invalid subset with
-    ``RuleSet.pointers`` inside ``foreachBatch``."""
+    Cost tracks the defect rate on every tier: typed-tier pointer
+    expressions are conditional in codegen, and Arrow-tier rules are
+    gated per failing rule (the UDF input is NULL unless the rule
+    failed, short-circuiting Python-side — Spark extracts pandas UDFs
+    out of ``when`` branches, so the gating lives in the UDF's input
+    expression instead; see Rule.compile_pointers)."""
     res = ruleset.apply(stream_df)
     if pointer_diagnostics:
         res.df = res.df.withColumn(

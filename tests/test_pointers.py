@@ -482,3 +482,40 @@ class TestPointerFuzz:
             for _ in range(20)
         ]
         self._check(spark, T.ArrayType(T.DoubleType()), schemas, cells)
+
+
+def test_gated_arrow_pointers_match_ungated(spark):
+    """pointer_entries_per_rule gates each Arrow-tier rule's UDF input
+    on that rule's own failure (NULL input = short-circuit), so the
+    Python cost tracks the defect rate even in projections that cannot
+    pre-filter (streaming).  Semantics must be bit-equal to the
+    ungated path — including the two NULL-convention traps: a
+    malformed JSON cell ((#, json)) and a SQL-NULL cell, which the
+    gate re-encodes as the JSON text "null" ((#, type))."""
+    from fences_spark.compiler.ruleset import RuleSet
+
+    df = spark.createDataFrame(
+        [(1, '{"x": -5}', "ab"), (2, "{bad", "a"),
+         (3, None, None), (4, '{"x": 1}', "ok")],
+        "id long, j string, s string",
+    )
+    rs = RuleSet()
+    rs.add("jx", "j",
+           {"type": "object", "properties": {"x": {"minimum": 0}},
+            "required": ["x"]}, mode="json")
+    rs.add("s_ok", "s", {"type": "string", "minLength": 2})
+    res = rs.apply(df)
+    ann = res.df.withColumn(
+        "vp", F.when(~F.col("row_valid"), rs.pointer_entries_per_rule(res.df))
+    )
+    gated = sorted(
+        (r["id"], e["rule_id"], p["pointer"], p["keyword"])
+        for r in ann.collect() if r["vp"] is not None
+        for e in r["vp"] for p in e["pointers"]
+    )
+    ref = sorted(map(tuple, rs.pointers(
+        res.df.filter(~F.col("row_valid")), "id").collect()))
+    assert gated == ref
+    assert (1, "jx", "#/x", "minimum") in gated
+    assert (2, "jx", "#", "json") in gated
+    assert (3, "jx", "#", "type") in gated
