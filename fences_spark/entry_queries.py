@@ -3656,42 +3656,83 @@ ORDER BY doc_id
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "multimodal_features": q_multimodal_features,
-    "multimodal_frames": q_multimodal_frames,
-    "grammar_priority_orders": q_grammar_priority_orders,
-    "grammar_number_docs": q_grammar_number_docs,
-    "openapi_requests": q_openapi_requests,
-    "openapi_responses": q_openapi_responses,
-    "xsd_orders_xml": q_xsd_orders_xml,
-    "xsd_violation_paths": q_xsd_violation_paths,
-    "uneval_props_events": q_uneval_props_events,
-    "content_b64_docs": q_content_b64_docs,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "near_dup_clusters": q_near_dup_clusters,
-    "near_dup_jaccard": q_near_dup_jaccard,
-    "sample_documents": q_sample_documents,
+    # Ordering contract: the driver's correctness gate samples the FIRST
+    # 50 entries. Round 5 rotates the window so the 25 entries never
+    # stamped in CORRECTNESS_r01-r04 (led by the north-rule flagship
+    # files_verdicts_buckets / files_violation_rows), plus the 8 entries
+    # last stamped before r04, land inside it, with a 17-entry
+    # representative core of r04-stamped entries keeping continuity.
+    "files_verdicts_buckets": q_files_verdicts_buckets,
+    "files_violation_rows": q_files_violation_rows,
+    "curate_full_docs": q_curate_full_docs,
+    "q3_shipping_priority": q3_shipping_priority,
+    "quality_pct_docs": q_quality_pct_docs,
+    "rollup_order_margins": q_rollup_order_margins,
+    "cube_order_stats": q_cube_order_stats,
+    "outliers_order_price": q_outliers_order_price,
+    "top10_orders": q_top10_orders,
+    "orders_by_month": q_orders_by_month,
+    "quality_docs": q_quality_docs,
+    "langid_docs": q_langid_docs,
+    "lexdiv_docs": q_lexdiv_docs,
+    "decontaminate_docs": q_decontaminate_docs,
+    "redact_docs": q_redact_docs,
+    "blocklist_docs": q_blocklist_docs,
+    "length_band_docs": q_length_band_docs,
+    "mix_interleave_docs": q_mix_interleave_docs,
+    "shuffle_shard_docs": q_shuffle_shard_docs,
+    "multimodal_resize": q_multimodal_resize,
+    "stream_files_verdicts": q_stream_files_verdicts,
+    "validate_files_200k": q_validate_files_200k,
+    "generate_confusion_fixtures": q_generate_confusion_fixtures,
+    "generate_cover_fixtures": q_generate_cover_fixtures,
+    "multimodal_real_decode": q_multimodal_real_decode,
+    "stream_sessionize_events": q_stream_sessionize_events,
+    "funnel_events": q_funnel_events,
+    "retention_events": q_retention_events,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "embedding_vector_stats": q_embedding_vector_stats,
+    "simhash_docs": q_simhash_docs,
     "validate_documents": q_validate_documents,
     "violations_events_props": q_violations_events_props,
     "validate_dynamic_tree": q_validate_dynamic_tree,
     "json_violation_pointers": q_json_violation_pointers,
+    "xsd_violation_paths": q_xsd_violation_paths,
+    "grammar_number_docs": q_grammar_number_docs,
+    "openapi_requests": q_openapi_requests,
+    "content_b64_docs": q_content_b64_docs,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "minhash_lsh_docs": q_minhash_lsh_docs,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "sessionize_events": q_sessionize_events,
+    "asof_click_purchase": q_asof_click_purchase,
+    "drift_docs_stats": q_drift_docs_stats,
+    "stream_drift_events": q_stream_drift_events,
     "q1_pricing_summary": q1_pricing_summary,
+    "sample_documents": q_sample_documents,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "grammar_priority_orders": q_grammar_priority_orders,
+    "openapi_responses": q_openapi_responses,
+    "xsd_orders_xml": q_xsd_orders_xml,
+    "uneval_props_events": q_uneval_props_events,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "near_dup_clusters": q_near_dup_clusters,
+    "near_dup_jaccard": q_near_dup_jaccard,
     "join_customer_orders": q_join_customer_orders,
     "orphan_orders": q_orphan_orders,
-    "dedup_exact_documents": q_dedup_exact_documents,
     "paragraph_dedup_docs": q_paragraph_dedup_docs,
     "dup_key_exemplars": q_dup_key_exemplars,
     "stats_profile": q_stats_profile,
     "profile_exact_orders": q_profile_exact_orders,
     "dedup_key_count": q_dedup_key_count,
     "lang_histogram": q_lang_histogram,
-    "drift_docs_stats": q_drift_docs_stats,
     "divergence_docs_stats": q_divergence_docs_stats,
-    "stream_drift_events": q_stream_drift_events,
     "topk_events_per_user": q_topk_events_per_user,
     "set_ops_customers": q_set_ops_customers,
     "events_json_props": q_events_json_props,
-    "minhash_lsh_docs": q_minhash_lsh_docs,
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "text_profile_docs": q_text_profile_docs,
     "dup_span_docs": q_dup_span_docs,
@@ -3703,42 +3744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topterms_docs": q_tfidf_topterms_docs,
     "pack_docs": q_pack_docs,
     "mix_quota_docs": q_mix_quota_docs,
-    "asof_click_purchase": q_asof_click_purchase,
     "range_view_error": q_range_view_error,
-    "sessionize_events": q_sessionize_events,
-    "stream_sessionize_events": q_stream_sessionize_events,
-    "funnel_events": q_funnel_events,
-    "retention_events": q_retention_events,
-    "embedding_topk": q_embedding_topk,
-    "embedding_near_dup": q_embedding_near_dup,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "embedding_vector_stats": q_embedding_vector_stats,
-    "simhash_docs": q_simhash_docs,
-    "rollup_order_margins": q_rollup_order_margins,
-    "q3_shipping_priority": q3_shipping_priority,
-    "cube_order_stats": q_cube_order_stats,
-    "outliers_order_price": q_outliers_order_price,
-    "orders_by_month": q_orders_by_month,
-    "top10_orders": q_top10_orders,
-    "quality_docs": q_quality_docs,
-    "langid_docs": q_langid_docs,
-    "validate_files_200k": q_validate_files_200k,
-    "files_verdicts_buckets": q_files_verdicts_buckets,
-    "files_violation_rows": q_files_violation_rows,
-    "stream_files_verdicts": q_stream_files_verdicts,
-    "generate_confusion_fixtures": q_generate_confusion_fixtures,
-    "generate_cover_fixtures": q_generate_cover_fixtures,
-    "multimodal_resize": q_multimodal_resize,
-    "multimodal_real_decode": q_multimodal_real_decode,
-    "mix_interleave_docs": q_mix_interleave_docs,
-    "blocklist_docs": q_blocklist_docs,
-    "length_band_docs": q_length_band_docs,
-    "quality_pct_docs": q_quality_pct_docs,
-    "lexdiv_docs": q_lexdiv_docs,
-    "curate_full_docs": q_curate_full_docs,
-    "decontaminate_docs": q_decontaminate_docs,
-    "redact_docs": q_redact_docs,
-    "shuffle_shard_docs": q_shuffle_shard_docs,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -42,3 +42,17 @@ def delete(spark: SparkSession, path: str) -> bool:
     if not fs.exists(jpath):
         return False
     return bool(fs.delete(jpath, True))
+
+
+def mkdirs(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs_and_path(spark, path)
+    return bool(fs.mkdirs(jpath))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic-ish move within one filesystem (Hadoop ``rename``); the
+    destination's PARENT must already exist.  False on failure (e.g.
+    destination exists)."""
+    fs, jsrc = _fs_and_path(spark, src)
+    _, jdst = _fs_and_path(spark, dst)
+    return bool(fs.rename(jsrc, jdst))

@@ -35,6 +35,10 @@ class PipelineConfig:
     output_dir: str
     id_col: str = "doc_id"
     text_col: str = "text"
+    # rule_id -> JSON-schema dict applied to text_col in typed mode,
+    # OR a full spec {"schema": ..., "mode": "typed"|"json"|"xml",
+    # "column": ..., "resources": ...} for rules over other columns /
+    # dialects (e.g. an XSD rule over an XML column)
     rules: dict = field(default_factory=lambda: {
         "text_present": {"type": "string", "minLength": 1},
     })
@@ -51,7 +55,11 @@ class PipelineConfig:
     # instance-pointer diagnostics on the violations sink (the
     # pipeline analog of RunConfig.pointer_diagnostics): the sink rows
     # become (id, rule_id, pointer, keyword) — one row per violation
-    # LOCATION — instead of (id, rule_id)
+    # LOCATION — instead of (id, rule_id).  Cardinality contract
+    # matches the runner's flag of the same name: a failing rule whose
+    # pointer tier yields zero entries still emits its (id, rule_id)
+    # row, with NULL pointer/keyword — a violation never disappears
+    # from the sink just because it has no pointer vocabulary.
     pointer_diagnostics: bool = False
 
     def path(self, name: str) -> str:
@@ -91,12 +99,40 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
 
     # 1. validate -------------------------------------------------------
     rs = RuleSet()
-    for rule_id, schema in cfg.rules.items():
-        rs.add(rule_id, txc, schema)
+    for rule_id, spec in cfg.rules.items():
+        if isinstance(spec, dict) and "schema" in spec and (
+            "mode" in spec or "column" in spec
+        ):
+            rs.add(
+                rule_id,
+                spec.get("column", txc),
+                spec["schema"],
+                mode=spec.get("mode", "typed"),
+                resources=spec.get("resources"),
+            )
+        else:
+            rs.add(rule_id, txc, spec)
     res = rs.apply(docs)
     res.verdicts().write.mode("overwrite").parquet(cfg.path("verdicts"))
     if cfg.pointer_diagnostics:
-        viol = rs.pointers(res.df.filter(~F.col("row_valid")), idc)
+        # cardinality-preserving pointer sink: one element per FAILING
+        # rule (pointer_entries_per_rule), then a null-safe outer
+        # explode of its pointer array — a rule with zero pointer
+        # entries keeps its (id, rule_id) row with NULL pointer/
+        # keyword, exactly like the runner's pointer_diagnostics path
+        # (RuleSet.pointers' inner explode would drop it entirely)
+        failing = res.df.filter(~F.col("row_valid"))
+        per_rule = rs.pointer_entries_per_rule(failing)
+        viol = (
+            failing.select(F.col(idc), F.explode(per_rule).alias("_v"))
+            .select(idc, "_v.rule_id", F.explode_outer("_v.pointers").alias("_p"))
+            .select(
+                idc,
+                "rule_id",
+                F.col("_p.pointer").alias("pointer"),
+                F.col("_p.keyword").alias("keyword"),
+            )
+        )
     else:
         viol = res.violations(idc)
     viol.write.mode("overwrite").parquet(cfg.path("violations"))

@@ -333,6 +333,15 @@ def run_incremental(
 
     - no prior completed snapshot → full run at the current snapshot;
     - prior == current → nothing to do, returns ``None``;
+    - table root exists but holds no snapshot log yet (its first
+      append has not happened) → nothing to validate, returns
+      ``None`` — a scheduled poller pointed at a pre-created table
+      root keeps no-opping until data arrives;
+    - ``table_root`` is not a snaplog table at all (missing path, or
+      a directory with non-snaplog content — e.g. a catalog
+      identifier or a typo) → raises ``ValueError`` rather than
+      silently reporting "caught up" on a path that will never
+      validate anything;
     - otherwise → incremental read (prior, current], validated under
       run_id ``incr_<current>`` so the checkpoint table records the
       new snapshot's buckets independently of the old run's.
@@ -346,13 +355,25 @@ def run_incremental(
 
     current = snaplog.current_snapshot_id(table_root)
     if current is None:
-        # Don't silently no-op: None is indistinguishable from the
-        # legitimate "already caught up" return below, so a caller
-        # pointing this at a catalog identifier or a bad path would
-        # believe validation is current while nothing ran.
+        # Distinguish two "no snapshot" cases.  A table root that
+        # EXISTS but has no log (or an empty log) is simply waiting
+        # for its first append — a benign no-op for a scheduled
+        # poller.  Anything else (missing path, a directory full of
+        # non-snaplog content, a catalog identifier) must NOT
+        # silently no-op: None is indistinguishable from the
+        # legitimate "already caught up" return below, so the caller
+        # would believe validation is current while nothing can ever
+        # run.
+        if os.path.isdir(table_root):
+            entries = [
+                n for n in os.listdir(table_root) if not n.startswith((".", "_"))
+            ]
+            if set(entries) <= {"metadata", "data"}:
+                return None  # pre-first-append table root: nothing to validate yet
         raise ValueError(
-            f"{table_root!r} is not a snapshot-log table; for catalog "
-            "(Iceberg) sources drive the runner directly with "
+            f"{table_root!r} is not a snapshot-log table (and not an "
+            "empty pre-first-append table root); for catalog (Iceberg) "
+            "sources drive the runner directly with "
             "read_table(..., start_snapshot_id=..., snapshot_id=...) "
             "from the catalog's own snapshot ids"
         )

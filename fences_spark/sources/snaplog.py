@@ -134,6 +134,23 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> str:
             )
         shutil.rmtree(final)
     os.replace(staging, final)
+    # Optimistic-concurrency check: the snap_id probe above re-read the
+    # log only when `final` already existed, and `log` itself is the
+    # stale read from function entry — a concurrent writer that
+    # committed a DIFFERENT snapshot mid-flight would otherwise be
+    # silently clobbered by _commit (its log entry lost, its data
+    # orphaned).  Re-read immediately before commit and fail loudly if
+    # the parent advanced; our data dir is removed so the aborted
+    # attempt leaves no orphan.
+    fresh = read_log(root) if is_snaplog_table(root) else []
+    fresh_parent = fresh[-1]["snapshot_id"] if fresh else ""
+    if fresh_parent != parent:
+        shutil.rmtree(final, ignore_errors=True)
+        raise RuntimeError(
+            f"concurrent append detected: table head moved from "
+            f"{parent or '<empty>'} to {fresh_parent or '<empty>'} while "
+            "this append was in flight; snaplog tables are single-writer"
+        )
     log.append(
         {
             "snapshot_id": snap_id,

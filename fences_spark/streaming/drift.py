@@ -119,17 +119,49 @@ def start_drift_stream(
     # restarts at 0 and any existing epoch_id>=0 partition belongs to
     # a previous lineage: its windows may re-finalize under different
     # epoch numbers, so per-epoch overwrite alone would leave stale
-    # duplicate w_epoch rows.  Clear them up front; a RESUMED
+    # duplicate w_epoch rows.  QUARANTINE them up front — a missing
+    # 'commits' dir can also mean a misconfigured/relocated/corrupted
+    # checkpoint, and if the file source has aged out old data a
+    # deleted history could never be re-finalized; moving the
+    # partitions under an underscore-prefixed trash dir (invisible to
+    # parquet partition discovery) keeps the reader contract while
+    # making the reset reversible by an operator.  A RESUMED
     # checkpoint (commits present) keeps its data untouched.  All
     # checks go through the Hadoop FS API so remote checkpoint/sink
     # schemes behave like local paths.
+    import logging
+    import uuid as _uuid
+
     from fences_spark import fsutil
 
     sess = stream_df.sparkSession
     if not fsutil.exists(sess, os.path.join(cfg.drift_checkpoint, "commits")):
-        for d in fsutil.list_dirs(sess, cfg.drift_path, "epoch_id=*"):
-            if not d.rstrip("/").endswith("epoch_id=-1"):
-                fsutil.delete(sess, d)
+        stale = [
+            d
+            for d in fsutil.list_dirs(sess, cfg.drift_path, "epoch_id=*")
+            if not d.rstrip("/").endswith("epoch_id=-1")
+        ]
+        if stale:
+            trash = os.path.join(
+                cfg.drift_path, f"_trash-reset-{_uuid.uuid4().hex[:12]}"
+            )
+            fsutil.mkdirs(sess, trash)
+            for d in stale:
+                name = d.rstrip("/").rsplit("/", 1)[-1]
+                if not fsutil.rename(sess, d, os.path.join(trash, name)):
+                    # cross-FS or racing writer: fall back to delete so
+                    # the lineage invariant still holds
+                    fsutil.delete(sess, d)
+            logging.getLogger(__name__).warning(
+                "drift sink %s had %d epoch partition(s) from a previous "
+                "checkpoint lineage (no 'commits' dir at %s); quarantined "
+                "under %s — delete that dir once the reset is confirmed "
+                "intentional",
+                cfg.drift_path,
+                len(stale),
+                cfg.drift_checkpoint,
+                trash,
+            )
 
     # pre-create the sink with its schema (under the reserved
     # epoch_id=-1 partition so the directory layout stays uniform): a

@@ -91,3 +91,49 @@ def test_pointer_diagnostics_violations_sink(spark, tmp_path_factory):
     assert (900001, "text_present", "#", "minLength") in got
     assert (900003, "text_present", "#", "type") in got
     assert all(d in (900001, 900003) for d, *_ in got)
+
+
+def test_pointer_diagnostics_keeps_pointerless_rule_rows(spark, tmp_path_factory):
+    """Round-5 advice: with pointer_diagnostics=True a failing rule whose
+    pointer tier yields ZERO entries (XML mode has no JSON-pointer
+    vocabulary) must still contribute its (id, rule_id) sink row — with
+    NULL pointer/keyword — matching the runner flag's cardinality
+    contract, instead of silently vanishing from the sink."""
+    out = str(tmp_path_factory.mktemp("pipeline_ptr0"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.select("doc_id", "text").limit(40)
+    xsd = (
+        '<?xml version="1.0"?>'
+        '<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">'
+        '<xs:element name="doc" type="xs:string"/></xs:schema>'
+    )
+    cfg = PipelineConfig(
+        output_dir=out,
+        n_shards=2,
+        pointer_diagnostics=True,
+        rules={
+            "text_present": {"type": "string", "minLength": 1},
+            # every plain-text doc fails XML parsing -> empty pointers
+            "xml_wellformed": {"schema": xsd, "mode": "xml"},
+        },
+    )
+    run_pipeline(spark, base, cfg)
+    viol = spark.read.parquet(os.path.join(out, "violations"))
+    assert sorted(viol.columns) == ["doc_id", "keyword", "pointer", "rule_id"]
+    xml_rows = viol.filter(F.col("rule_id") == "xml_wellformed")
+    # one row per failing doc, preserved with NULL pointer/keyword
+    assert xml_rows.count() == 40
+    assert xml_rows.filter(F.col("pointer").isNotNull()).count() == 0
+    # and the (id, rule) pairs equal the non-diagnostic sink's pairs
+    cfg2 = PipelineConfig(
+        output_dir=str(tmp_path_factory.mktemp("pipeline_ptr0_plain")),
+        n_shards=2,
+        rules=cfg.rules,
+    )
+    run_pipeline(spark, base, cfg2)
+    plain = spark.read.parquet(os.path.join(cfg2.output_dir, "violations"))
+    pairs_diag = {(r["doc_id"], r["rule_id"])
+                  for r in viol.select("doc_id", "rule_id").distinct().collect()}
+    pairs_plain = {(r["doc_id"], r["rule_id"])
+                   for r in plain.select("doc_id", "rule_id").distinct().collect()}
+    assert pairs_diag == pairs_plain

@@ -181,3 +181,28 @@ def test_pointer_diagnostics_violations_sink(spark, cfg):
     assert kws_c == {"type", "minLength"}
     # no (row, rule) sink row carries a NULL pointers array
     assert viol.filter(F.col("pointers").isNull()).count() == 0
+
+
+def test_run_incremental_pre_first_append_root_noop(spark, tmp_path):
+    """Round-5 advice: a table root that exists but has no snapshot log
+    yet (first append hasn't happened) is a benign no-op for a scheduled
+    poller — returns None; a path full of non-snaplog content still
+    raises so a typo can't masquerade as 'caught up'."""
+    from fences_spark.run.runner import run_incremental
+
+    empty = tmp_path / "pre_first_append"
+    empty.mkdir()
+    assert run_incremental(spark, files_ruleset(), str(empty), str(tmp_path / "o1")) is None
+
+    meta_only = tmp_path / "meta_only"
+    (meta_only / "metadata").mkdir(parents=True)
+    (meta_only / "data").mkdir()
+    assert run_incremental(spark, files_ruleset(), str(meta_only), str(tmp_path / "o2")) is None
+
+    bogus = tmp_path / "bogus"
+    bogus.mkdir()
+    (bogus / "whatever.txt").write_text("not a table")
+    with pytest.raises(ValueError, match="not a snapshot-log table"):
+        run_incremental(spark, files_ruleset(), str(bogus), str(tmp_path / "o3"))
+    with pytest.raises(ValueError, match="not a snapshot-log table"):
+        run_incremental(spark, files_ruleset(), str(tmp_path / "missing"), str(tmp_path / "o4"))

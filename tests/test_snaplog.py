@@ -226,3 +226,43 @@ def test_append_retry_after_crash_between_replace_and_commit(spark, tmp_path, mo
     log = snaplog.read_log(root)
     assert [s["snapshot_id"] for s in log] == [sid]
     assert snaplog.read(spark, root, snapshot_id=sid).count() == 100
+
+
+def test_concurrent_append_of_different_snapshot_detected(spark, tmp_path, monkeypatch):
+    """TOCTOU window (round-5 advice): a concurrent writer that commits a
+    DIFFERENT snapshot while our append is in flight must not be clobbered
+    by our stale-log _commit — the optimistic re-read immediately before
+    commit raises instead, and the racer's snapshot survives intact."""
+    import os as _os
+
+    root = str(tmp_path / "tbl")
+    first = snaplog.append(spark, root, spark.range(10).select(F.col("id").alias("x")))
+
+    real_replace = _os.replace
+    state = {"raced": False, "racer_id": None}
+
+    def racing_replace(src, dst):
+        # fire exactly once, on the victim's data-dir promotion: restore
+        # the real replace, let a concurrent append fully commit, then
+        # finish the victim's own replace so it proceeds to its commit
+        if not state["raced"] and "snap-" in _os.path.basename(str(dst)):
+            state["raced"] = True
+            monkeypatch.setattr(_os, "replace", real_replace)
+            state["racer_id"] = snaplog.append(
+                spark, root, spark.range(77).select(F.col("id").alias("x"))
+            )
+        real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", racing_replace)
+    with pytest.raises(RuntimeError, match="concurrent append"):
+        snaplog.append(spark, root, spark.range(33).select(F.col("id").alias("x")))
+
+    # the racer's commit is intact: log chain is first -> racer, its data
+    # readable, and the victim left no orphan data dir behind
+    log = snaplog.read_log(root)
+    assert [s["snapshot_id"] for s in log] == [first, state["racer_id"]]
+    assert snaplog.read(spark, root).count() == 10 + 77
+    data_dirs = sorted(
+        n for n in _os.listdir(_os.path.join(root, "data")) if n.startswith("snap-")
+    )
+    assert data_dirs == sorted(f"snap-{s['snapshot_id']}" for s in log)

@@ -4,6 +4,7 @@ finalization + late-row drop)."""
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timedelta
 
 import pyspark.sql.functions as F
@@ -494,3 +495,59 @@ class TestStreamingDrift:
         assert lineage2 == lineage1  # same windows once each, no stale rows
         w = spark.read.parquet(cfg.drift_path).groupBy("w_epoch").count().collect()
         assert all(r["count"] == 1 for r in w)
+
+    def test_checkpoint_reset_quarantines_not_deletes(self, spark, tmp_path_factory):
+        """Round-5 advice: a missing 'commits' dir can also mean a
+        misconfigured/relocated checkpoint, and if the file source has
+        aged out old data a deleted history is gone forever.  The
+        lineage reset must QUARANTINE stale epoch partitions under an
+        underscore-prefixed trash dir (invisible to partition
+        discovery) instead of deleting them."""
+        import glob
+        import shutil
+
+        from fences_spark.streaming.drift import DriftStreamConfig, start_drift_stream
+
+        root = tmp_path_factory.mktemp("sdrift_trash")
+        src = str(root / "src")
+        base = spark.createDataFrame([("a", 50), ("b", 50)], "bucket string, cnt long")
+        cfg = DriftStreamConfig(output_dir=str(root / "out"))
+
+        def run_once() -> None:
+            schema = "event_id long, event_type string, ts timestamp"
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = start_drift_stream(
+                stream, base, cfg, col="event_type",
+                window_len="1 hour", delay="30 minutes",
+            )
+            q.awaitTermination(120)
+            assert not q.isActive
+
+        rows1 = [(i, et, T0 + timedelta(minutes=i)) for i, et in enumerate(["a", "b"])]
+        rows1.append((20, "b", T0 + timedelta(hours=2, minutes=40)))
+        spark.createDataFrame(
+            rows1, "event_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()  # epoch 0: window 0
+        pre_reset = sorted(map(tuple, spark.read.parquet(cfg.drift_path)
+                               .select("w_epoch", "psi", "tvd").collect()))
+        assert len(pre_reset) == 1
+
+        shutil.rmtree(cfg.drift_checkpoint)  # simulate lost/relocated ckpt
+        run_once()
+
+        # history preserved: exactly one trash dir holding the old
+        # epoch_id=0 partition, its rows still readable and equal to
+        # the pre-reset sink contents
+        trash = glob.glob(os.path.join(cfg.drift_path, "_trash-reset-*"))
+        assert len(trash) == 1
+        q_parts = glob.glob(os.path.join(trash[0], "epoch_id=*"))
+        assert len(q_parts) == 1
+        quarantined = sorted(map(tuple, spark.read.parquet(q_parts[0])
+                                 .select("w_epoch", "psi", "tvd").collect()))
+        assert quarantined == pre_reset
+        # the live sink is unaffected by the trash dir (underscore
+        # prefix → ignored by discovery) and has no duplicate windows
+        live = sorted(map(tuple, spark.read.parquet(cfg.drift_path)
+                          .select("w_epoch", "psi", "tvd").collect()))
+        assert live == pre_reset
