@@ -532,6 +532,12 @@ def compile_json(
 
     A malformed JSON cell is invalid; a SQL-NULL cell is evaluated as
     JSON null (consistent with the typed compiler)."""
+    # BEFORE tier selection: a meta-schema requiring an unimplemented
+    # vocabulary must refuse to compile on EVERY tier — inside the
+    # try it would be swallowed into the Arrow fallback
+    from fences_spark.schema.vocabulary import check_vocabularies
+
+    check_vocabularies(schema, resources)
     try:
         if resources:
             raise CompileError("external resource registry: Arrow tier")

@@ -231,6 +231,14 @@ class RuleSet:
         mode: str = "typed",
         resources: dict | None = None,
     ) -> "RuleSet":
+        if mode in ("typed", "json"):
+            # $vocabulary refusal semantics (draft 2020-12): a
+            # resolvable custom meta-schema requiring a vocabulary we
+            # don't implement fails HERE, loudly, not as a silent
+            # keyword drop at evaluation time
+            from fences_spark.schema.vocabulary import check_vocabularies
+
+            check_vocabularies(schema, resources)
         self.rules.append(Rule(rule_id, column, schema, mode, resources))
         return self
 

@@ -2583,6 +2583,24 @@ _OPENAPI_SPEC = {
                  "schema": {"$ref": "#/components/schemas/Priority"}},
                 {"name": "limit", "in": "query", "required": True,
                  "schema": {"type": "integer", "minimum": 1, "maximum": 100}},
+                {"name": "tags", "in": "query", "required": False,
+                 "style": "pipeDelimited",
+                 "schema": {"type": "array", "minItems": 1, "maxItems": 3,
+                            "items": {"type": "string",
+                                      "enum": ["new", "sale", "bulk"]}}},
+                {"name": "regions", "in": "query", "required": False,
+                 "style": "spaceDelimited",
+                 "schema": {"type": "array", "maxItems": 2,
+                            "items": {"type": "integer",
+                                      "minimum": 0, "maximum": 4}}},
+                {"name": "filter", "in": "query", "required": False,
+                 "style": "deepObject", "explode": True,
+                 "schema": {"type": "object", "required": ["status"],
+                            "properties": {
+                                "status": {"type": "string",
+                                           "enum": ["open", "closed"]},
+                                "min_total": {"type": "number",
+                                              "minimum": 0}}}},
             ],
             "responses": {
                 "200": {"description": "ok", "content": {"application/json": {
@@ -2606,12 +2624,48 @@ def q_openapi_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fences_spark.schema.open_api import OpenApiValidator
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+    # styled query params (round-5): pipeDelimited tags — k%3==2 has 4
+    # items (maxItems 3) → invalid; spaceDelimited regions — k%4==2
+    # holds 9 (maximum 4), k%4==3 has 3 items (maxItems 2) → invalid;
+    # deepObject filter — k%5==2 bad enum, k%5==3 required `status`
+    # key missing while `min_total` present → invalid, k%5==4 wholly
+    # absent → valid (parameter not required)
+    tags = (
+        F.when(k % 3 == 0, F.lit("new|sale"))
+        .when(k % 3 == 1, F.lit("bulk"))
+        .otherwise(F.lit("new|sale|bulk|new"))
+    )
+    regions = (
+        F.when(k % 4 == 0, F.lit("0 3"))
+        .when(k % 4 == 1, F.lit("2"))
+        .when(k % 4 == 2, F.lit("1 9"))
+        .otherwise(F.lit("0 1 2"))
+    )
+    f_status = (
+        F.when(k % 5 == 0, F.lit("open"))
+        .when(k % 5 == 1, F.lit("closed"))
+        .when(k % 5 == 2, F.lit("paused"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    f_min_total = (
+        F.when(k % 5 == 0, F.lit("10.5"))
+        .when(k % 5 == 3, F.lit("7"))
+        .otherwise(F.lit(None).cast("string"))
+    )
     gets = orders.select(
         F.lit("GET").alias("method"),
-        F.concat(F.lit("/orders/"), F.col("o_orderkey").cast("string")).alias("path"),
-        F.create_map(
-            F.lit("limit"), (F.col("o_orderkey") % 150).cast("string"),
-            F.lit("priority"), F.col("o_orderpriority"),
+        F.concat(F.lit("/orders/"), k.cast("string")).alias("path"),
+        F.map_filter(
+            F.create_map(
+                F.lit("limit"), (k % 150).cast("string"),
+                F.lit("priority"), F.col("o_orderpriority"),
+                F.lit("tags"), tags,
+                F.lit("regions"), regions,
+                F.lit("filter[status]"), f_status,
+                F.lit("filter[min_total]"), f_min_total,
+            ),
+            lambda _, v: v.isNotNull(),
         ).alias("query"),
         F.lit(None).cast("string").alias("body"),
     )
@@ -2630,8 +2684,16 @@ def q_openapi_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_OPENAPI_REQUESTS = """
 SELECT 'getOrder' AS operation_id,
-       SUM(CASE WHEN (o_orderkey % 150) BETWEEN 1 AND 100 THEN 1 ELSE 0 END)::BIGINT AS n_valid,
-       SUM(CASE WHEN (o_orderkey % 150) BETWEEN 1 AND 100 THEN 0 ELSE 1 END)::BIGINT AS n_invalid
+       SUM(CASE WHEN (o_orderkey % 150) BETWEEN 1 AND 100
+                 AND (o_orderkey % 3) IN (0, 1)
+                 AND (o_orderkey % 4) IN (0, 1)
+                 AND (o_orderkey % 5) IN (0, 1, 4)
+            THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       SUM(CASE WHEN (o_orderkey % 150) BETWEEN 1 AND 100
+                 AND (o_orderkey % 3) IN (0, 1)
+                 AND (o_orderkey % 4) IN (0, 1)
+                 AND (o_orderkey % 5) IN (0, 1, 4)
+            THEN 0 ELSE 1 END)::BIGINT AS n_invalid
 FROM orders
 UNION ALL
 SELECT 'createOrder',

@@ -61,9 +61,21 @@ class PipelineConfig:
     # row, with NULL pointer/keyword — a violation never disappears
     # from the sink just because it has no pointer vocabulary.
     pointer_diagnostics: bool = False
+    # stage checkpoints: materialize the funnel's intermediate frames
+    # (post-validate, post-curation(+quality), post-dedup) as snaplog
+    # snapshot tables under <output_dir>/stages/.  A killed run resumes
+    # at the last COMMITTED stage instead of restarting from scratch —
+    # snaplog's write-data-then-commit-log ordering makes a mid-stage
+    # crash leave an invisible orphan, never a half-readable stage.  At
+    # 100 TB this also replaces executor-memory persists with
+    # parquet-backed reads (column-pruned scans, no cache pressure).
+    stage_checkpoints: bool = False
 
     def path(self, name: str) -> str:
         return os.path.join(self.output_dir, name)
+
+    def stage_root(self, name: str) -> str:
+        return os.path.join(self.output_dir, "stages", name)
 
 
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
@@ -83,10 +95,14 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
     """Execute the full curation pipeline; returns a summary dict
     (also written to ``<output_dir>/summary.json``).
 
-    The two frames every later stage re-reads (validated docs,
-    post-dedup survivors) are persisted for the run and unpersisted on
-    exit, so no stage — and none of the summary counts — re-executes
-    an earlier stage's lineage."""
+    The frames every later stage re-reads (validated docs, curated+
+    quality-banded keeps, post-dedup survivors) are either persisted
+    for the run and unpersisted on exit (default), or — with
+    ``cfg.stage_checkpoints`` — committed as snaplog snapshot tables
+    under ``<output_dir>/stages/`` so a killed run resumes at the last
+    completed stage and re-reads parquet instead of caching.  Either
+    way no stage, and none of the summary counts, re-executes an
+    earlier stage's lineage."""
     from pyspark import StorageLevel
 
     from fences_spark.compiler.ruleset import RuleSet
@@ -94,103 +110,140 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
     from fences_spark.operators.dedup import connected_components, minhash_lsh_pairs
     from fences_spark.operators.sampling import shuffle_shards
     from fences_spark.operators.text import pack_sequences
+    from fences_spark.sources import snaplog
 
     idc, txc = cfg.id_col, cfg.text_col
+    persisted: list[DataFrame] = []
+
+    def _stage_load(name: str) -> DataFrame | None:
+        """The stage's committed snapshot table, or None when the stage
+        has not completed (or checkpoints are off)."""
+        root = cfg.stage_root(name)
+        if cfg.stage_checkpoints and snaplog.current_snapshot_id(root) is not None:
+            return snaplog.read(spark, root)
+        return None
+
+    def _stage_commit(name: str, df: DataFrame) -> DataFrame:
+        """Mark the stage complete.  With checkpoints on, commit ``df``
+        as the stage's snaplog snapshot — snaplog writes data BEFORE
+        the log commit, so a crash mid-write leaves an invisible
+        orphan and the stage recomputes on resume; the sinks written
+        earlier in the same stage are overwrite-idempotent.  Returns a
+        parquet-backed read of the committed table (no cache
+        pressure).  With checkpoints off, persist for the run."""
+        if cfg.stage_checkpoints:
+            root = cfg.stage_root(name)
+            snaplog.append(spark, root, df)
+            return snaplog.read(spark, root)
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(out)
+        return out
 
     # 1. validate -------------------------------------------------------
-    rs = RuleSet()
-    for rule_id, spec in cfg.rules.items():
-        if isinstance(spec, dict) and "schema" in spec and (
-            "mode" in spec or "column" in spec
-        ):
-            rs.add(
-                rule_id,
-                spec.get("column", txc),
-                spec["schema"],
-                mode=spec.get("mode", "typed"),
-                resources=spec.get("resources"),
+    valid = _stage_load("validated")
+    if valid is None:
+        rs = RuleSet()
+        for rule_id, spec in cfg.rules.items():
+            if isinstance(spec, dict) and "schema" in spec and (
+                "mode" in spec or "column" in spec
+            ):
+                rs.add(
+                    rule_id,
+                    spec.get("column", txc),
+                    spec["schema"],
+                    mode=spec.get("mode", "typed"),
+                    resources=spec.get("resources"),
+                )
+            else:
+                rs.add(rule_id, txc, spec)
+        res = rs.apply(docs)
+        res.verdicts().write.mode("overwrite").parquet(cfg.path("verdicts"))
+        if cfg.pointer_diagnostics:
+            # cardinality-preserving pointer sink: one element per
+            # FAILING rule (pointer_entries_per_rule), then a null-safe
+            # outer explode of its pointer array — a rule with zero
+            # pointer entries keeps its (id, rule_id) row with NULL
+            # pointer/keyword, exactly like the runner's
+            # pointer_diagnostics path (RuleSet.pointers' inner explode
+            # would drop it entirely)
+            failing = res.df.filter(~F.col("row_valid"))
+            per_rule = rs.pointer_entries_per_rule(failing)
+            viol = (
+                failing.select(F.col(idc), F.explode(per_rule).alias("_v"))
+                .select(idc, "_v.rule_id", F.explode_outer("_v.pointers").alias("_p"))
+                .select(
+                    idc,
+                    "rule_id",
+                    F.col("_p.pointer").alias("pointer"),
+                    F.col("_p.keyword").alias("keyword"),
+                )
             )
         else:
-            rs.add(rule_id, txc, spec)
-    res = rs.apply(docs)
-    res.verdicts().write.mode("overwrite").parquet(cfg.path("verdicts"))
-    if cfg.pointer_diagnostics:
-        # cardinality-preserving pointer sink: one element per FAILING
-        # rule (pointer_entries_per_rule), then a null-safe outer
-        # explode of its pointer array — a rule with zero pointer
-        # entries keeps its (id, rule_id) row with NULL pointer/
-        # keyword, exactly like the runner's pointer_diagnostics path
-        # (RuleSet.pointers' inner explode would drop it entirely)
-        failing = res.df.filter(~F.col("row_valid"))
-        per_rule = rs.pointer_entries_per_rule(failing)
-        viol = (
-            failing.select(F.col(idc), F.explode(per_rule).alias("_v"))
-            .select(idc, "_v.rule_id", F.explode_outer("_v.pointers").alias("_p"))
-            .select(
-                idc,
-                "rule_id",
-                F.col("_p.pointer").alias("pointer"),
-                F.col("_p.keyword").alias("keyword"),
+            viol = res.violations(idc)
+        viol.write.mode("overwrite").parquet(cfg.path("violations"))
+        valid = _stage_commit(
+            "validated", res.df.filter(F.col("row_valid")).select(docs.columns)
+        )
+
+    # 2 + 2b. curate, then optional per-stratum quality band — one
+    # resumable stage ("kept"): its snapshot is the post-curation,
+    # post-band keep set
+    kept = _stage_load("kept")
+    if kept is None:
+        if cfg.blocked_domains:
+            verdicts = curate_documents_full(
+                valid, idc, txc, blocked_domains=cfg.blocked_domains
             )
-        )
-    else:
-        viol = res.violations(idc)
-    viol.write.mode("overwrite").parquet(cfg.path("violations"))
-    valid = res.df.filter(F.col("row_valid")).select(docs.columns).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-
-    # 2. curate ---------------------------------------------------------
-    if cfg.blocked_domains:
-        verdicts = curate_documents_full(
-            valid, idc, txc, blocked_domains=cfg.blocked_domains
-        )
-    else:
-        verdicts = curate_documents(valid, idc, txc)
-    verdicts.write.mode("overwrite").parquet(cfg.path("curation"))
-    # read the keep set back from the sink just written: the live
-    # `verdicts` lineage is the full (expensive) curation DAG, and it
-    # would re-execute for every downstream consumer; the parquet
-    # read is a 1-column pruned scan instead
-    kept_ids = (
-        spark.read.parquet(cfg.path("curation"))
-        .filter(F.col("keep"))
-        .select(F.col("doc_id").alias(idc))
-    )
-    kept = valid.join(kept_ids, idc).persist(StorageLevel.MEMORY_AND_DISK)
-
-    # 2b. quality band (optional) ----------------------------------------
-    # one-scan staged percentile: the pipeline owns the cache lifecycle,
-    # so the 100 TB setting (materialized narrow projection, VERDICT r3)
-    # is the default here — released as soon as the quality sink exists
-    kept_after_quality = None
-    if cfg.quality_min_pct is not None:
-        from fences_spark.operators.sampling import quality_percentiles_staged
-
-        strata = cfg.strata_col if cfg.strata_col is not None else F.lit("all")
-        pcts, release = quality_percentiles_staged(kept, idc, txc, strata)
-        pcts.write.mode("overwrite").parquet(cfg.path("quality"))
-        release()
-        band_ids = (
-            spark.read.parquet(cfg.path("quality"))
-            .filter(F.col("pct") >= cfg.quality_min_pct)
+        else:
+            verdicts = curate_documents(valid, idc, txc)
+        verdicts.write.mode("overwrite").parquet(cfg.path("curation"))
+        # read the keep set back from the sink just written: the live
+        # `verdicts` lineage is the full (expensive) curation DAG, and
+        # it would re-execute for every downstream consumer; the
+        # parquet read is a 1-column pruned scan instead
+        kept_ids = (
+            spark.read.parquet(cfg.path("curation"))
+            .filter(F.col("keep"))
             .select(F.col("doc_id").alias(idc))
         )
-        banded = kept.join(band_ids, idc).persist(StorageLevel.MEMORY_AND_DISK)
-        prev = kept
-        kept = banded
-        kept_after_quality = kept.count()  # materializes banded...
-        prev.unpersist()  # ...THEN release the parent cache it read from
+        kept0 = valid.join(kept_ids, idc)
+        if cfg.quality_min_pct is not None:
+            # one-scan staged percentile: the pipeline owns the cache
+            # lifecycle, so the 100 TB setting (materialized narrow
+            # projection, VERDICT r3) is the default here — released as
+            # soon as the quality sink exists
+            from fences_spark.operators.sampling import quality_percentiles_staged
+
+            kept0 = kept0.persist(StorageLevel.MEMORY_AND_DISK)
+            strata = cfg.strata_col if cfg.strata_col is not None else F.lit("all")
+            pcts, release = quality_percentiles_staged(kept0, idc, txc, strata)
+            pcts.write.mode("overwrite").parquet(cfg.path("quality"))
+            release()
+            band_ids = (
+                spark.read.parquet(cfg.path("quality"))
+                .filter(F.col("pct") >= cfg.quality_min_pct)
+                .select(F.col("doc_id").alias(idc))
+            )
+            kept = _stage_commit("kept", kept0.join(band_ids, idc))
+            kept.count()  # materializes the persisted stage frame...
+            kept0.unpersist()  # ...THEN release the parent cache it read from
+        else:
+            kept = _stage_commit("kept", kept0)
+    kept_after_quality = (
+        kept.count() if cfg.quality_min_pct is not None else None
+    )
 
     # 3. near-dup dedup (keep cluster canonicals) ------------------------
-    pairs = minhash_lsh_pairs(kept, idc, txc)
-    clusters = connected_components(pairs)
-    non_canonical = clusters.filter(F.col("node") != F.col("cluster_id")).select(
-        F.col("node").alias(idc)
-    )
-    surviving = kept.join(non_canonical, idc, "left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    surviving = _stage_load("surviving")
+    if surviving is None:
+        pairs = minhash_lsh_pairs(kept, idc, txc)
+        clusters = connected_components(pairs)
+        non_canonical = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+            F.col("node").alias(idc)
+        )
+        surviving = _stage_commit(
+            "surviving", kept.join(non_canonical, idc, "left_anti")
+        )
 
     # 4. pack -----------------------------------------------------------
     packed = pack_sequences(
@@ -209,7 +262,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
         .parquet(cfg.path("corpus"))
     )
 
-    # counts come from persisted frames or already-written sinks —
+    # counts come from persisted/stage frames or already-written sinks —
     # nothing below re-executes an upstream stage
     curation = spark.read.parquet(cfg.path("curation"))
     summary = {
@@ -224,9 +277,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
         summary["kept_after_quality_band"] = kept_after_quality
     _write_text(spark, cfg.path("summary.json"),
                 json.dumps(summary, indent=1, sort_keys=True))
-    valid.unpersist()
-    kept.unpersist()
-    surviving.unpersist()
+    for df_ in persisted:
+        df_.unpersist()
     return summary
 
 

@@ -77,9 +77,25 @@ class Parameter:
     name: str
     position: str          # query | header | path | cookie
     required: bool
-    style: str             # simple | form
+    # simple | form | spaceDelimited | pipeDelimited | deepObject.
+    # The reference raises on anything beyond simple/form
+    # (fences/open_api/format.py:51-56); the three extra query styles
+    # are implemented here because real specs use them:
+    # space/pipeDelimited change the array item separator, deepObject
+    # serializes object properties as separate `name[prop]` query keys.
+    style: str
     explode: bool
     schema: dict
+
+
+# query-only styles are rejected elsewhere by parse_spec
+_STYLES_BY_POSITION = {
+    "path": {"simple"},
+    "header": {"simple"},
+    "query": {"form", "spaceDelimited", "pipeDelimited", "deepObject"},
+    "cookie": {"form"},
+}
+_ARRAY_SEPARATORS = {"spaceDelimited": " ", "pipeDelimited": "|"}
 
 
 @dataclass
@@ -132,13 +148,19 @@ def parse_spec(spec: dict) -> dict[str, Operation]:
                          if (p.get("name"), p.get("in")) not in op_param_keys]
             for idx, p in enumerate(list(op.get("parameters", [])) + inherited):
                 pos = p["in"]
+                style = p.get("style", "form" if pos in ("query", "cookie") else "simple")
+                if style not in _STYLES_BY_POSITION.get(pos, set()):
+                    raise OpenApiError(
+                        f"parameter {p.get('name')!r} in {path} {method}: "
+                        f"style {style!r} is not valid for position {pos!r}"
+                    )
                 params.append(Parameter(
                     name=p["name"],
                     position=pos,
                     # path params are implicitly required (reference
                     # default, open_api.py:73)
                     required=bool(p.get("required", pos == "path")),
-                    style=p.get("style", "form" if pos in ("query", "cookie") else "simple"),
+                    style=style,
                     explode=bool(p.get("explode", False)),
                     schema=_inline_components(p.get("schema", {}), components),
                 ))
@@ -231,9 +253,11 @@ def _lex_scalar_option(s: dict, col: Column) -> Column:
     return _any(alts)
 
 
-def lexical_pred(schema: Any, col: Column) -> Column:
+def lexical_pred(schema: Any, col: Column, sep: str = ",") -> Column:
     """Predicate for a serialized parameter value (NULL → False; the
-    caller folds in required/absent semantics)."""
+    caller folds in required/absent semantics).  ``sep`` is the array
+    item separator of the parameter's style: ',' for simple/form,
+    ' ' for spaceDelimited, '|' for pipeDelimited."""
     norm = normalize(schema)
     opts = norm.get("anyOf", [])
     alts: list[Column] = []
@@ -241,8 +265,9 @@ def lexical_pred(schema: Any, col: Column) -> Column:
         types = s.get("type", ["number", "boolean", "string", "array"])
         if "array" in types and ("items" in s or "prefixItems" in s
                                  or "minItems" in s or "maxItems" in s):
-            # simple style joins items with ',' (format.py:14-15)
-            arr = F.split(col, ",")
+            # simple/form styles join items with ',' (format.py:14-15);
+            # spaceDelimited/pipeDelimited swap the separator only
+            arr = F.split(col, re.escape(sep))
             preds: list[Column] = []
             if "minItems" in s:
                 preds.append(F.size(arr) >= int(s["minItems"]))
@@ -309,10 +334,38 @@ class OpenApiValidator:
                     idx = path_names.index(p.name) + 1
                     raw = F.regexp_extract(path, anchored, idx)
                     checks.append((cname, lexical_pred(p.schema, raw)))
+                elif p.position == "query" and have_query and p.style == "deepObject":
+                    # deepObject serializes each object property as its
+                    # own query key `name[prop]`: validate every
+                    # declared property's value lexically, required
+                    # properties must be present; the parameter itself
+                    # is "absent" iff none of its keys appear.
+                    # (additionalProperties is not enforced — the map's
+                    # undeclared keys are out of this check's scope,
+                    # like undeclared plain query params.)
+                    schema = p.schema if isinstance(p.schema, dict) else {}
+                    prop_schemas = schema.get("properties", {})
+                    required_props = set(schema.get("required", []))
+                    preds: list[Column] = []
+                    present_any: Column = F.lit(False)
+                    for prop, ps in prop_schemas.items():
+                        raw = F.element_at(
+                            F.col(query_col), f"{p.name}[{prop}]"
+                        )
+                        present_any = present_any | raw.isNotNull()
+                        absent_ok = F.lit(prop not in required_props)
+                        preds.append(
+                            F.when(raw.isNull(), absent_ok)
+                            .otherwise(lexical_pred(ps, raw))
+                        )
+                    ok = F.when(~present_any, F.lit(not p.required)) \
+                         .otherwise(_all(preds))
+                    checks.append((cname, ok))
                 elif p.position == "query" and have_query:
                     raw = F.element_at(F.col(query_col), p.name)
+                    sep = _ARRAY_SEPARATORS.get(p.style, ",")
                     ok = F.when(raw.isNull(), F.lit(not p.required)) \
-                         .otherwise(lexical_pred(p.schema, raw))
+                         .otherwise(lexical_pred(p.schema, raw, sep=sep))
                     checks.append((cname, ok))
                 elif p.position == "header" and have_headers:
                     raw = F.element_at(F.col(headers_col), p.name.lower())

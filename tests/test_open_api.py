@@ -323,3 +323,130 @@ def test_header_and_cookie_parameters(spark):
     assert got["bad_header"] == (False, ["header.X-Api-Version"])
     assert got["missing_required_header"] == (False, ["header.X-Api-Version"])
     assert got["bad_cookie"] == (False, ["cookie.sid"])
+
+
+# ---------------------------------------------------------------------------
+# Styled query parameters (round-5): spaceDelimited / pipeDelimited /
+# deepObject, checked row-by-row against an INDEPENDENTLY written
+# pure-Python styled-parameter parser+validator (no shared code).
+# ---------------------------------------------------------------------------
+
+STYLED_SPEC = {
+    "info": {"title": "styled", "version": "1"},
+    "paths": {
+        "/search": {
+            "get": {
+                "operationId": "search",
+                "parameters": [
+                    {"name": "tags", "in": "query", "required": False,
+                     "style": "pipeDelimited",
+                     "schema": {"type": "array", "minItems": 1, "maxItems": 3,
+                                "items": {"type": "string",
+                                          "enum": ["new", "sale", "bulk"]}}},
+                    {"name": "ids", "in": "query", "required": True,
+                     "style": "spaceDelimited",
+                     "schema": {"type": "array", "maxItems": 2,
+                                "items": {"type": "integer",
+                                          "minimum": 0, "maximum": 9}}},
+                    {"name": "filter", "in": "query", "required": False,
+                     "style": "deepObject", "explode": True,
+                     "schema": {"type": "object", "required": ["status"],
+                                "properties": {
+                                    "status": {"type": "string",
+                                               "enum": ["open", "closed"]},
+                                    "min_total": {"type": "number",
+                                                  "minimum": 0}}}},
+                ],
+                "responses": {"200": {"description": "ok"}},
+            }
+        }
+    },
+}
+
+
+def _py_int(s):
+    try:
+        v = float(s)
+    except ValueError:
+        return None
+    return v if v == int(v) else None
+
+
+def _py_validate_styled(query: dict) -> bool:
+    """Independent reference implementation of the three styles over
+    STYLED_SPEC — parses the serialized values itself."""
+    # tags: pipeDelimited array of enum strings, 1..3 items, optional
+    if "tags" in query:
+        items = query["tags"].split("|")
+        if not (1 <= len(items) <= 3):
+            return False
+        if any(i not in ("new", "sale", "bulk") for i in items):
+            return False
+    # ids: spaceDelimited array of ints 0..9, <=2 items, REQUIRED
+    if "ids" not in query:
+        return False
+    items = query["ids"].split(" ")
+    if len(items) > 2:
+        return False
+    for i in items:
+        v = _py_int(i)
+        if v is None or not (0 <= v <= 9):
+            return False
+    # filter: deepObject {status (required, enum), min_total (>=0)}
+    f_keys = {k for k in query if k.startswith("filter[")}
+    if f_keys:
+        if "filter[status]" not in query:
+            return False
+        if query["filter[status]"] not in ("open", "closed"):
+            return False
+        if "filter[min_total]" in query:
+            try:
+                if float(query["filter[min_total]"]) < 0:
+                    return False
+            except ValueError:
+                return False
+    return True
+
+
+STYLED_CASES = [
+    {"ids": "3 7"},
+    {"ids": "3 7", "tags": "new|sale"},
+    {"ids": "0", "tags": "bulk"},
+    {"ids": "3 7 9"},                          # 3 items > maxItems 2
+    {"ids": "3 12"},                           # 12 > maximum 9
+    {"ids": "3 x"},                            # non-integer item
+    {"tags": "new"},                           # ids missing (required)
+    {"ids": "1", "tags": "new|sale|bulk|new"}, # 4 items > maxItems 3
+    {"ids": "1", "tags": "new|oops"},          # bad enum item
+    {"ids": "1", "tags": ""},                  # empty string -> [''] bad enum
+    {"ids": "1", "filter[status]": "open"},
+    {"ids": "1", "filter[status]": "closed", "filter[min_total]": "10.5"},
+    {"ids": "1", "filter[status]": "paused"},  # bad enum
+    {"ids": "1", "filter[min_total]": "5"},    # required status missing
+    {"ids": "1", "filter[status]": "open", "filter[min_total]": "-1"},  # < 0
+    {"ids": "1", "filter[status]": "open", "filter[min_total]": "nope"},
+]
+
+
+def test_styled_params_match_independent_parser(spark):
+    rows = [("GET", "/search", q) for q in STYLED_CASES]
+    df = spark.createDataFrame(rows, "method string, path string, query map<string,string>")
+    out = OpenApiValidator(STYLED_SPEC).validate(df)
+    got = [bool(r["row_valid"]) for r in out.collect()]
+    want = [_py_validate_styled(q) for q in STYLED_CASES]
+    assert got == want, list(zip(STYLED_CASES, got, want))
+    # sanity: the case list exercises both verdicts
+    assert True in want and False in want
+
+
+def test_styled_params_position_rejected():
+    bad = {
+        "info": {"title": "x", "version": "1"},
+        "paths": {"/a/{id}": {"get": {
+            "operationId": "a",
+            "parameters": [{"name": "id", "in": "path",
+                            "style": "deepObject", "schema": {}}],
+            "responses": {"200": {"description": "ok"}}}}},
+    }
+    with pytest.raises(OpenApiError, match="deepObject"):
+        parse_spec(bad)

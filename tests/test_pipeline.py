@@ -137,3 +137,63 @@ def test_pointer_diagnostics_keeps_pointerless_rule_rows(spark, tmp_path_factory
     pairs_plain = {(r["doc_id"], r["rule_id"])
                    for r in plain.select("doc_id", "rule_id").distinct().collect()}
     assert pairs_diag == pairs_plain
+
+
+def test_stage_checkpoints_kill_resume_byte_identical(spark, tmp_path_factory, monkeypatch):
+    """stage_checkpoints=True: kill the pipeline BETWEEN stages (after the
+    curation stage committed, before dedup), then resume with the same
+    config.  The resumed run must (a) not re-execute the completed
+    validate/curate stages — injected bombs in RuleSet.apply and the
+    curate operators prove it — and (b) produce a summary.json byte-
+    identical to an uninterrupted run's."""
+    import fences_spark.compiler.ruleset as ruleset_mod
+    import fences_spark.operators.curate as curate_mod
+    import fences_spark.operators.dedup as dedup_mod
+    from fences_spark.sources import snaplog
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    mk = lambda name: str(tmp_path_factory.mktemp(name))
+
+    # reference: one uninterrupted checkpointed run
+    ref_out = mk("pipe_ref")
+    ref_cfg = PipelineConfig(output_dir=ref_out, n_shards=2, stage_checkpoints=True)
+    ref_summary = run_pipeline(spark, docs, ref_cfg)
+
+    # run A: crash between the "kept" and "surviving" stages
+    out = mk("pipe_kill")
+    cfg = PipelineConfig(output_dir=out, n_shards=2, stage_checkpoints=True)
+    real_minhash = dedup_mod.minhash_lsh_pairs
+
+    def bomb(*a, **kw):
+        raise RuntimeError("injected kill between stages")
+
+    monkeypatch.setattr(dedup_mod, "minhash_lsh_pairs", bomb)
+    with pytest.raises(RuntimeError, match="injected kill"):
+        run_pipeline(spark, docs, cfg)
+    monkeypatch.setattr(dedup_mod, "minhash_lsh_pairs", real_minhash)
+
+    # the first two stages are committed, the third is not
+    assert snaplog.current_snapshot_id(cfg.stage_root("validated")) is not None
+    assert snaplog.current_snapshot_id(cfg.stage_root("kept")) is not None
+    assert snaplog.current_snapshot_id(cfg.stage_root("surviving")) is None
+
+    # run B: resume — completed stages must be read, never recomputed
+    monkeypatch.setattr(
+        ruleset_mod.RuleSet, "apply", bomb
+    )
+    monkeypatch.setattr(curate_mod, "curate_documents", bomb)
+    monkeypatch.setattr(curate_mod, "curate_documents_full", bomb)
+    summary = run_pipeline(spark, docs, cfg)
+
+    assert summary == ref_summary
+    # byte-identical summary.json funnel counts
+    with open(os.path.join(out, "summary.json")) as f_a, \
+         open(os.path.join(ref_out, "summary.json")) as f_b:
+        assert f_a.read() == f_b.read()
+    # resume appended no second snapshot to the completed stages
+    for stage in ("validated", "kept"):
+        assert len(snaplog.read_log(cfg.stage_root(stage))) == 1
