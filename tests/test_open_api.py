@@ -450,3 +450,52 @@ def test_styled_params_position_rejected():
     }
     with pytest.raises(OpenApiError, match="deepObject"):
         parse_spec(bad)
+
+
+def test_styled_params_seeded_fuzz_vs_independent_parser(spark):
+    """Seeded randomized styled-parameter corpus (200 query maps mixing
+    valid/invalid/absent values of all three styles plus junk noise
+    keys) — engine row_valid must equal the independent pure-Python
+    parser on every row."""
+    import random
+
+    rng = random.Random(20260821)
+    # weighted toward VALID values so both verdicts are dense (an
+    # all-invalid corpus exercises only one side of every predicate)
+    tag_pool = ["new", "sale", "bulk", "oops", ""]
+    tag_w = [4, 4, 4, 1, 1]
+    id_pool = ["0", "3", "9", "12", "-1", "x", "3.5"]
+    id_w = [5, 5, 5, 1, 1, 1, 1]
+    status_pool = ["open", "closed", "paused", ""]
+    status_w = [4, 4, 1, 1]
+    min_pool = ["0", "10.5", "-1", "nope"]
+    min_w = [4, 4, 1, 1]
+
+    cases = []
+    for _ in range(200):
+        q = {}
+        if rng.random() < 0.9:  # ids usually present (required)
+            q["ids"] = " ".join(
+                rng.choices(id_pool, weights=id_w, k=rng.randint(1, 2))
+            )
+        if rng.random() < 0.6:
+            q["tags"] = "|".join(
+                rng.choices(tag_pool, weights=tag_w, k=rng.randint(1, 4))
+            )
+        r = rng.random()
+        if r < 0.4:
+            q["filter[status]"] = rng.choices(status_pool, weights=status_w, k=1)[0]
+        if 0.2 < r < 0.5:
+            q["filter[min_total]"] = rng.choices(min_pool, weights=min_w, k=1)[0]
+        if rng.random() < 0.3:
+            q["noise"] = "zzz"  # undeclared key: must not affect verdict
+        cases.append(q)
+
+    rows = [("GET", "/search", q) for q in cases]
+    df = spark.createDataFrame(rows, "method string, path string, query map<string,string>")
+    out = OpenApiValidator(STYLED_SPEC).validate(df)
+    got = [bool(r["row_valid"]) for r in out.collect()]
+    want = [_py_validate_styled(q) for q in cases]
+    mismatches = [(q, g, w) for q, g, w in zip(cases, got, want) if g != w]
+    assert mismatches == [], mismatches[:5]
+    assert 10 < sum(want) < 190  # corpus exercises both verdicts heavily

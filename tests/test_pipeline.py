@@ -197,3 +197,59 @@ def test_stage_checkpoints_kill_resume_byte_identical(spark, tmp_path_factory, m
     # resume appended no second snapshot to the completed stages
     for stage in ("validated", "kept"):
         assert len(snaplog.read_log(cfg.stage_root(stage))) == 1
+
+
+@pytest.mark.parametrize("kill_at,committed", [
+    ("curate", ["validated"]),            # die in stage 2 -> only stage 1 committed
+    ("pack", ["validated", "kept", "surviving"]),   # die in stage 4 -> all staged
+    ("shuffle", ["validated", "kept", "surviving"]),  # die in stage 5
+])
+def test_stage_checkpoints_kill_matrix(spark, tmp_path_factory, monkeypatch,
+                                       kill_at, committed):
+    """Kill the checkpointed pipeline at OTHER stage boundaries than the
+    dedup one (covered above): mid-curation (nothing past validate
+    committed), mid-pack and mid-shuffle (every staged frame already
+    committed).  Resume must complete with a summary equal to an
+    uninterrupted run's, without appending duplicate snapshots."""
+    import fences_spark.operators.curate as curate_mod
+    import fences_spark.operators.sampling as sampling_mod
+    import fences_spark.operators.text as text_mod
+    from fences_spark.sources import snaplog
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    ref_out = str(tmp_path_factory.mktemp(f"pipe_km_ref_{kill_at}"))
+    ref_summary = run_pipeline(
+        spark, docs, PipelineConfig(output_dir=ref_out, n_shards=2,
+                                    stage_checkpoints=True)
+    )
+
+    out = str(tmp_path_factory.mktemp(f"pipe_km_{kill_at}"))
+    cfg = PipelineConfig(output_dir=out, n_shards=2, stage_checkpoints=True)
+
+    def bomb(*a, **kw):
+        raise RuntimeError("injected kill")
+
+    target = {
+        "curate": (curate_mod, "curate_documents"),
+        "pack": (text_mod, "pack_sequences"),
+        "shuffle": (sampling_mod, "shuffle_shards"),
+    }[kill_at]
+    real = getattr(*target)
+    monkeypatch.setattr(*target, bomb)
+    with pytest.raises(RuntimeError, match="injected kill"):
+        run_pipeline(spark, docs, cfg)
+    monkeypatch.setattr(*target, real)
+
+    all_stages = ["validated", "kept", "surviving"]
+    for stage in all_stages:
+        done = snaplog.current_snapshot_id(cfg.stage_root(stage)) is not None
+        assert done == (stage in committed), (kill_at, stage)
+
+    summary = run_pipeline(spark, docs, cfg)
+    assert summary == ref_summary
+    for stage in all_stages:
+        assert len(snaplog.read_log(cfg.stage_root(stage))) == 1, stage
