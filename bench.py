@@ -85,6 +85,7 @@ HEADLINE = [
     "blocklist_docs",
     "length_band_docs",
     "shuffle_shard_docs",
+    "luhn_cards_docs",
 ]
 
 

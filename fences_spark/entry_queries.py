@@ -3717,6 +3717,70 @@ ORDER BY doc_id
 """
 
 
+def q_luhn_cards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated payment-card scrub over the corpus: enrich each
+    document with a deterministic mix of a valid card, a
+    checksum-failing near-card (an order id that must NOT be
+    redacted), and separator-styled valid cards, then count
+    candidates vs Luhn-valid cards and fold the scrubbed text to a
+    digest.  Pure JVM nested higher-order functions — zero Python."""
+    from fences_spark.operators.text import luhn_card_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" card 4532015112830366"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" ref 4532015112830367"))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit(" pay 5500 0000 0000 0004 or 4111-1111-1111-1111"),
+        )
+        .otherwise(F.lit("")),
+    )
+    return luhn_card_documents(
+        docs.select("doc_id", enriched.alias("text")), "doc_id", "text"
+    )
+
+
+SQL_LUHN_CARDS_DOCS = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0 THEN ' card 4532015112830366'
+                      WHEN doc_id % 4 = 1 THEN ' ref 4532015112830367'
+                      WHEN doc_id % 4 = 2 THEN ' pay 5500 0000 0000 0004 or 4111-1111-1111-1111'
+                      ELSE '' END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '\b(?:\d[ -]?){12,18}\d\b') AS cands
+  FROM enriched
+), d AS (
+  SELECT doc_id, text, cands,
+         list_transform(cands, x -> regexp_replace(x, '[^0-9]', '', 'g')) AS digs
+  FROM c
+), v AS (
+  SELECT doc_id, text, cands,
+         list_filter(cands, (x, ci) ->
+            len(digs[ci]) BETWEEN 13 AND 19 AND
+            list_sum(list_transform(range(1, len(digs[ci]) + 1), i ->
+              CASE WHEN (len(digs[ci]) - i) % 2 = 0 THEN ascii(digs[ci][i]) - 48
+                   ELSE CASE WHEN (ascii(digs[ci][i]) - 48) * 2 > 9
+                        THEN (ascii(digs[ci][i]) - 48) * 2 - 9
+                        ELSE (ascii(digs[ci][i]) - 48) * 2 END END)) % 10 = 0
+         ) AS valid
+  FROM d
+)
+SELECT doc_id,
+       len(cands)::INT AS n_card_candidates,
+       len(valid)::INT AS n_card_valid,
+       md5(list_reduce(list_prepend(text, valid),
+                       (acc, x) -> replace(acc, x, '<CC>'))) AS redacted_digest
+FROM v
+ORDER BY doc_id
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Ordering contract: the driver's correctness gate samples the FIRST
     # 50 entries. Round 5 rotates the window so the 25 entries never
@@ -3807,6 +3871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_docs": q_pack_docs,
     "mix_quota_docs": q_mix_quota_docs,
     "range_view_error": q_range_view_error,
+    "luhn_cards_docs": q_luhn_cards_docs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3889,6 +3954,7 @@ ORACLE_SQL: dict[str, str] = {
     "files_verdicts_buckets": SQL_FILES_VERDICTS_BUCKETS,
     "files_violation_rows": SQL_FILES_VIOLATION_ROWS,
     "stream_files_verdicts": SQL_STREAM_FILES_VERDICTS,
+    "luhn_cards_docs": SQL_LUHN_CARDS_DOCS,
     # The four rows-only exceptions (every other entry is value-hash
     # gated):
     # validate_files_200k: rows-only (input is synthesized, not an sf table)

@@ -512,3 +512,102 @@ def redact_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         counts["hex_secret"].alias("n_hex_secret"),
         F.md5(redact(t).cast("binary")).alias("redacted_digest"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated payment-card detection (round 5)
+# ---------------------------------------------------------------------------
+# Candidate = 13-19 digits with optional single space/dash separators,
+# word-delimited.  ASCII \d and \b behave identically in Java regex and
+# RE2/DuckDB, and bounded repetition yields the same leftmost
+# non-overlapping candidates in both, so the oracle sees the exact
+# same candidate list.
+CARD_CANDIDATE_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+# Luhn checksum over a digit string `d` as a Spark SQL expression
+# fragment (pure JVM: sequence + aggregate + ascii arithmetic — no
+# Python, no UDF).  Doubles every second digit from the RIGHT.
+_LUHN_OK = (
+    "length({d}) BETWEEN 13 AND 19 AND aggregate("
+    "sequence(1, length({d})), 0, (acc, i) -> acc + "
+    "CASE WHEN (length({d}) - i) % 2 = 0 THEN ascii(substr({d}, i, 1)) - 48 "
+    "ELSE CASE WHEN (ascii(substr({d}, i, 1)) - 48) * 2 > 9 "
+    "THEN (ascii(substr({d}, i, 1)) - 48) * 2 - 9 "
+    "ELSE (ascii(substr({d}, i, 1)) - 48) * 2 END END) % 10 = 0"
+)
+
+
+def luhn_valid(digits: Column) -> Column:
+    """True iff ``digits`` (a digits-only string column) is 13-19 long
+    and passes the Luhn checksum — whole-stage-codegen Column algebra."""
+    d = digits.cast("string")
+    n = F.length(d)
+    # positional fold via aggregate over 1..n (see _LUHN_OK for the
+    # SQL-fragment twin used inside array lambdas)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (n - i) % 2 == 0, F.ascii(d.substr(i, F.lit(1))) - 48
+        ).otherwise(
+            F.when(
+                (F.ascii(d.substr(i, F.lit(1))) - 48) * 2 > 9,
+                (F.ascii(d.substr(i, F.lit(1))) - 48) * 2 - 9,
+            ).otherwise((F.ascii(d.substr(i, F.lit(1))) - 48) * 2)
+        ),
+    )
+    return n.between(13, 19) & (total % 10 == 0)
+
+
+def luhn_card_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, n_card_candidates, n_card_valid, redacted_digest) —
+    payment-card PII scrub: every word-delimited 13-19-digit run
+    (optional space/dash separators) is a candidate; only candidates
+    whose digit string passes the Luhn checksum count as cards and are
+    redacted to ``<CC>`` (checksum-failing runs are order ids / serial
+    numbers and stay).  The scrubbed text is folded to its md5 digest
+    so the output stays value-hash comparable.
+
+    Execution shape: one narrow projection per row — candidate
+    extraction (`regexp_extract_all`), per-candidate Luhn via nested
+    higher-order functions (`transform` + indexed `filter` +
+    `aggregate`), and redaction as an `aggregate` fold of literal
+    `replace` calls.  All whole-stage codegen; zero Python, zero
+    shuffles (the orderBy is presentation-only at the sink).  No
+    reference precedent (SURVEY.md §2.F).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(CARD_CANDIDATE_RE), F.lit(0)
+        ).alias("_cands"),
+    ).withColumn(
+        "_digs",
+        F.transform(F.col("_cands"), lambda x: F.regexp_replace(x, "[^0-9]", "")),
+    )
+    # the outer filter's index MUST NOT be named `i`: the Luhn
+    # fragment's inner aggregate lambda binds its own `i` (digit
+    # position) which would shadow the candidate index
+    valid_cands = F.expr(
+        "filter(_cands, (x, ci) -> "
+        + _LUHN_OK.format(d="element_at(_digs, ci + 1)")
+        + ")"
+    )
+    return (
+        base.withColumn("_valid", valid_cands)
+        .select(
+            "doc_id",
+            F.size("_cands").alias("n_card_candidates"),
+            F.size("_valid").alias("n_card_valid"),
+            F.md5(
+                F.aggregate(
+                    F.col("_valid"),
+                    F.col("_t"),
+                    lambda acc, x: F.replace(acc, x, F.lit("<CC>")),
+                ).cast("binary")
+            ).alias("redacted_digest"),
+        )
+        .orderBy("doc_id")
+    )

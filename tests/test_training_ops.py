@@ -1464,3 +1464,76 @@ class TestParagraphDedup:
         # '.' must not act as a regex dot; 'a.b' dedups against itself
         assert out[1]["clean_text"] == "a.b|x"
         assert (out[1]["n_pars"], out[1]["n_kept"]) == (3, 2)
+
+
+class TestLuhnCards:
+    """Luhn-validated payment-card scrub (round 5, SURVEY §2.F) —
+    checksum math pinned against a pure-Python Luhn implementation."""
+
+    @staticmethod
+    def _py_luhn(digits: str) -> bool:
+        if not (13 <= len(digits) <= 19):
+            return False
+        total = 0
+        for i, ch in enumerate(reversed(digits)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    def test_luhn_valid_column_matches_python(self, spark):
+        import random
+
+        from fences_spark.operators.text import luhn_valid
+
+        rng = random.Random(42)
+        cases = ["4532015112830366", "4532015112830367", "5500000000000004",
+                 "4111111111111111", "123456789012", "12345678901234567890"]
+        cases += ["".join(rng.choices("0123456789", k=rng.randint(12, 20)))
+                  for _ in range(60)]
+        df = spark.createDataFrame([(c,) for c in cases], ["d"])
+        got = {r["d"]: r["ok"] for r in
+               df.select("d", luhn_valid(F.col("d")).alias("ok")).collect()}
+        for c in cases:
+            assert got[c] == self._py_luhn(c), c
+
+    def test_operator_candidates_and_redaction(self, spark):
+        from fences_spark.operators.text import luhn_card_documents
+
+        rows = [
+            (1, "pay 4532015112830366 now"),                    # valid
+            (2, "order 4532015112830367 shipped"),              # luhn-fail
+            (3, "a 5500 0000 0000 0004 b 4111-1111-1111-1111"), # 2 valid, styled
+            (4, "serial 123456789012 ok"),                      # 12 digits: no candidate
+            (5, "run 123456789012345678901234 long"),           # 24 digits: no \b fit
+            (6, "twice 4111111111111111 and 4111111111111111"), # duplicate card
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: r for r in
+               luhn_card_documents(df, "doc_id", "text").collect()}
+        assert (out[1]["n_card_candidates"], out[1]["n_card_valid"]) == (1, 1)
+        assert (out[2]["n_card_candidates"], out[2]["n_card_valid"]) == (1, 0)
+        assert (out[3]["n_card_candidates"], out[3]["n_card_valid"]) == (2, 2)
+        assert (out[4]["n_card_candidates"], out[4]["n_card_valid"]) == (0, 0)
+        assert (out[5]["n_card_candidates"], out[5]["n_card_valid"]) == (0, 0)
+        assert (out[6]["n_card_candidates"], out[6]["n_card_valid"]) == (2, 2)
+        # redaction digest: doc 2's checksum-failing run is NOT redacted
+        import hashlib
+        assert out[2]["redacted_digest"] == hashlib.md5(
+            b"order 4532015112830367 shipped").hexdigest()
+        assert out[1]["redacted_digest"] == hashlib.md5(
+            b"pay <CC> now").hexdigest()
+        assert out[6]["redacted_digest"] == hashlib.md5(
+            b"twice <CC> and <CC>").hexdigest()
+
+    def test_plan_is_pure_jvm(self, spark):
+        from fences_spark.operators.text import luhn_card_documents
+
+        df = spark.createDataFrame([(1, "x 4532015112830366")],
+                                   "doc_id int, text string")
+        plan = luhn_card_documents(df, "doc_id", "text")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
