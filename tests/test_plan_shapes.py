@@ -47,6 +47,7 @@ GATED = [
     "mix_quota_docs",
     "json_violation_pointers",
     "multimodal_features",
+    "luhn_cards_docs",
 ]
 
 
