@@ -86,6 +86,7 @@ HEADLINE = [
     "length_band_docs",
     "shuffle_shard_docs",
     "luhn_cards_docs",
+    "iban_docs",
 ]
 
 

@@ -3781,6 +3781,67 @@ ORDER BY doc_id
 
 
 
+def q_iban_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO 13616 mod-97 IBAN scrub over the corpus: deterministic mix
+    of valid IBANs, a checksum-failing lookalike that must NOT be
+    redacted, and IBAN-free docs.  Pure JVM nested higher-order
+    functions (sequential modular fold per candidate) — zero Python."""
+    from fences_spark.operators.text import iban_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" iban GB82WEST12345698765432"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit(" acct DE89370400440532013000 ref GB82WEST12345698765433"),
+        )
+        .otherwise(F.lit("")),
+    )
+    return iban_documents(
+        docs.select("doc_id", enriched.alias("text")), "doc_id", "text"
+    )
+
+
+SQL_IBAN_DOCS = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN ' iban GB82WEST12345698765432'
+                      WHEN doc_id % 3 = 1 THEN ' acct DE89370400440532013000 ref GB82WEST12345698765433'
+                      ELSE '' END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b') AS cands
+  FROM enriched
+), r AS (
+  SELECT doc_id, text, cands,
+         list_transform(cands, x -> x[5:] || x[1:4]) AS rearr
+  FROM c
+), v AS (
+  SELECT doc_id, text, cands,
+         list_filter(cands, (x, ci) ->
+            list_reduce(
+              list_prepend(0, list_transform(range(1, len(rearr[ci]) + 1), i ->
+                CASE WHEN ascii(rearr[ci][i]) BETWEEN 48 AND 57
+                     THEN ascii(rearr[ci][i]) - 48
+                     ELSE -(ascii(rearr[ci][i]) - 55) END)),
+              (acc, vv) -> CASE WHEN vv >= 0 THEN (acc * 10 + vv) % 97
+                                ELSE (acc * 100 - vv) % 97 END) = 1
+         ) AS valid
+  FROM r
+)
+SELECT doc_id,
+       len(cands)::INT AS n_iban_candidates,
+       len(valid)::INT AS n_iban_valid,
+       md5(list_reduce(list_prepend(text, valid),
+                       (acc, x) -> replace(acc, x, '<IBAN>'))) AS redacted_digest
+FROM v
+ORDER BY doc_id
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Ordering contract: the driver's correctness gate samples the FIRST
     # 50 entries. Round 5 rotates the window so the 25 entries never
@@ -3872,6 +3933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_quota_docs": q_mix_quota_docs,
     "range_view_error": q_range_view_error,
     "luhn_cards_docs": q_luhn_cards_docs,
+    "iban_docs": q_iban_docs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3955,6 +4017,7 @@ ORACLE_SQL: dict[str, str] = {
     "files_violation_rows": SQL_FILES_VIOLATION_ROWS,
     "stream_files_verdicts": SQL_STREAM_FILES_VERDICTS,
     "luhn_cards_docs": SQL_LUHN_CARDS_DOCS,
+    "iban_docs": SQL_IBAN_DOCS,
     # The four rows-only exceptions (every other entry is value-hash
     # gated):
     # validate_files_200k: rows-only (input is synthesized, not an sf table)

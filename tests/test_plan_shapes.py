@@ -48,6 +48,7 @@ GATED = [
     "json_violation_pointers",
     "multimodal_features",
     "luhn_cards_docs",
+    "iban_docs",
 ]
 
 

@@ -1537,3 +1537,52 @@ class TestLuhnCards:
         plan = luhn_card_documents(df, "doc_id", "text")._jdf.queryExecution() \
             .executedPlan().toString()
         assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestIban:
+    """ISO 13616 mod-97 IBAN scrub — pinned against a pure-Python
+    big-integer implementation."""
+
+    @staticmethod
+    def _py_iban(s: str) -> bool:
+        r = s[4:] + s[:4]
+        return int("".join(str(int(c, 36)) for c in r)) % 97 == 1
+
+    def test_operator_matches_python_reference(self, spark):
+        import random
+        import string
+
+        from fences_spark.operators.text import iban_documents
+
+        rng = random.Random(7)
+        fixed = ["GB82WEST12345698765432", "DE89370400440532013000",
+                 "FR1420041010050500013M02606", "GB82WEST12345698765433"]
+        randoms = [
+            "".join(rng.choices(string.ascii_uppercase, k=2))
+            + "".join(rng.choices(string.digits, k=2))
+            + "".join(rng.choices(string.ascii_uppercase + string.digits,
+                                  k=rng.randint(11, 30)))
+            for _ in range(40)
+        ]
+        cands = fixed + randoms
+        rows = [(i, f"pay {c} now") for i, c in enumerate(cands)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: r for r in
+               iban_documents(df, "doc_id", "text").collect()}
+        import hashlib
+        for i, c in enumerate(cands):
+            want = self._py_iban(c)
+            assert out[i]["n_iban_candidates"] == 1, c
+            assert out[i]["n_iban_valid"] == (1 if want else 0), c
+            expected_text = f"pay {'<IBAN>' if want else c} now"
+            assert out[i]["redacted_digest"] == hashlib.md5(
+                expected_text.encode()).hexdigest(), c
+
+    def test_plan_is_pure_jvm(self, spark):
+        from fences_spark.operators.text import iban_documents
+
+        df = spark.createDataFrame([(1, "x DE89370400440532013000")],
+                                   "doc_id int, text string")
+        plan = iban_documents(df, "doc_id", "text")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
