@@ -87,6 +87,7 @@ HEADLINE = [
     "shuffle_shard_docs",
     "luhn_cards_docs",
     "iban_docs",
+    "entropy_secrets_docs",
 ]
 
 

@@ -3842,6 +3842,67 @@ ORDER BY doc_id
 
 
 
+def q_entropy_secrets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-entropy secret scan over the corpus: deterministic mix of
+    a generated API-key-like token (flagged + redacted), a long
+    snake_case identifier (kept), and clean docs.  Pure JVM nested
+    higher-order functions — zero Python."""
+    from fences_spark.operators.text import entropy_secret_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(" token sk_FqZ93xT2mWv8LpQ7rYdK4nBjhE6u"),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit(" var total_validation_error_count_by_bucket"),
+        )
+        .otherwise(F.lit("")),
+    )
+    return entropy_secret_documents(
+        docs.select("doc_id", enriched.alias("text")), "doc_id", "text"
+    )
+
+
+SQL_ENTROPY_SECRETS_DOCS = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN ' token sk_FqZ93xT2mWv8LpQ7rYdK4nBjhE6u'
+                      WHEN doc_id % 3 = 1 THEN ' var total_validation_error_count_by_bucket'
+                      ELSE '' END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '\b[A-Za-z0-9+/=_-]{20,64}\b') AS cands
+  FROM enriched
+), e AS (
+  SELECT doc_id, text, cands,
+         list_transform(cands, x -> round(
+           list_sum(list_transform(list_distinct(string_split(x, '')), ch ->
+             -(len(list_filter(string_split(x, ''), y -> y = ch)) * 1.0 / len(x))
+              * log2(len(list_filter(string_split(x, ''), y -> y = ch)) * 1.0 / len(x))
+           )), 6)) AS ents
+  FROM c
+), v AS (
+  SELECT doc_id, text, cands, ents,
+         list_filter(cands, (x, ci) -> ents[ci] >= 4.2) AS high
+  FROM e
+)
+SELECT doc_id,
+       len(cands)::INT AS n_secret_candidates,
+       len(high)::INT AS n_high_entropy,
+       CASE WHEN len(cands) > 0 THEN list_max(ents) END AS max_entropy,
+       md5(list_reduce(list_prepend(text, high),
+                       (acc, x) -> replace(acc, x, '<KEY>'))) AS redacted_digest
+FROM v
+ORDER BY doc_id
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Ordering contract: the driver's correctness gate samples the FIRST
     # 50 entries. Round 5 rotates the window so the 25 entries never
@@ -3934,6 +3995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_view_error": q_range_view_error,
     "luhn_cards_docs": q_luhn_cards_docs,
     "iban_docs": q_iban_docs,
+    "entropy_secrets_docs": q_entropy_secrets_docs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4018,6 +4080,7 @@ ORACLE_SQL: dict[str, str] = {
     "stream_files_verdicts": SQL_STREAM_FILES_VERDICTS,
     "luhn_cards_docs": SQL_LUHN_CARDS_DOCS,
     "iban_docs": SQL_IBAN_DOCS,
+    "entropy_secrets_docs": SQL_ENTROPY_SECRETS_DOCS,
     # The four rows-only exceptions (every other entry is value-hash
     # gated):
     # validate_files_200k: rows-only (input is synthesized, not an sf table)

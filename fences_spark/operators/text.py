@@ -679,3 +679,76 @@ def iban_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# High-entropy secret detection (round 5) — source-code secret
+# scanning for the north-rule table: long token-ish runs whose
+# Shannon character entropy marks them as machine-generated
+# credentials (API keys, tokens) rather than words or identifiers.
+# ---------------------------------------------------------------------------
+SECRET_CANDIDATE_RE = r"\b[A-Za-z0-9+/=_-]{20,64}\b"
+# bits/char; generated keys sit near log2(charset)≈5.2-6, English
+# words and snake_case identifiers near 3-4.  Compared on the
+# round6-rounded value so the JVM and the DuckDB oracle agree at the
+# boundary despite last-ulp log2 differences.
+SECRET_ENTROPY_BITS = 4.2
+
+
+def shannon_entropy(token: Column) -> Column:
+    """Shannon entropy (bits/char) of a string column — distinct-char
+    probability fold, pure Column algebra.  O(distinct·len) per value;
+    candidates are ≤64 chars so the quadratic term is bounded."""
+    chars = F.split(token, "")
+    n = F.size(chars)
+    return F.aggregate(
+        F.array_distinct(chars),
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (F.size(F.filter(chars, lambda y: y == c)) / n)
+        * F.log2(F.size(F.filter(chars, lambda y: y == c)) / n),
+    )
+
+
+def entropy_secret_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, n_secret_candidates, n_high_entropy, max_entropy,
+    redacted_digest) — candidates are word-delimited 20-64-char runs
+    over the base64/identifier charset; those whose per-char Shannon
+    entropy (rounded to 6 decimals) reaches ``SECRET_ENTROPY_BITS``
+    are counted as secrets and redacted to ``<KEY>``.  Long ordinary
+    identifiers (snake_case, camelCase) fall well under the threshold
+    and survive.  Same execution shape as the Luhn/IBAN scrubs:
+    nested higher-order functions, whole-stage codegen, zero Python,
+    zero shuffles.  No reference precedent (SURVEY.md §2.F)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(SECRET_CANDIDATE_RE), F.lit(0)
+        ).alias("_cands"),
+    ).withColumn(
+        "_ents",
+        F.transform(F.col("_cands"), lambda x: F.round(shannon_entropy(x), 6)),
+    )
+    high = F.expr(
+        f"filter(_cands, (x, ci) -> element_at(_ents, ci + 1) >= {SECRET_ENTROPY_BITS})"
+    )
+    return (
+        base.withColumn("_high", high)
+        .select(
+            "doc_id",
+            F.size("_cands").alias("n_secret_candidates"),
+            F.size("_high").alias("n_high_entropy"),
+            F.when(
+                F.size("_cands") > 0, F.round(F.array_max("_ents"), 6)
+            ).otherwise(F.lit(None).cast("double")).alias("max_entropy"),
+            F.md5(
+                F.aggregate(
+                    F.col("_high"),
+                    F.col("_t"),
+                    lambda acc, x: F.replace(acc, x, F.lit("<KEY>")),
+                ).cast("binary")
+            ).alias("redacted_digest"),
+        )
+        .orderBy("doc_id")
+    )

@@ -49,6 +49,7 @@ GATED = [
     "multimodal_features",
     "luhn_cards_docs",
     "iban_docs",
+    "entropy_secrets_docs",
 ]
 
 

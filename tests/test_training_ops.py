@@ -1586,3 +1586,65 @@ class TestIban:
         plan = iban_documents(df, "doc_id", "text")._jdf.queryExecution() \
             .executedPlan().toString()
         assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestEntropySecrets:
+    """High-entropy secret detection — entropy math pinned against a
+    pure-Python Shannon implementation."""
+
+    @staticmethod
+    def _py_entropy(s: str) -> float:
+        import math
+        from collections import Counter
+
+        n = len(s)
+        return -sum((c / n) * math.log2(c / n) for c in Counter(s).values())
+
+    def test_entropy_matches_python(self, spark):
+        import random
+        import string
+
+        from fences_spark.operators.text import shannon_entropy
+
+        rng = random.Random(13)
+        cases = ["aaaaaaaaaaaaaaaaaaaa", "abcdefghijklmnopqrst",
+                 "sk_FqZ93xT2mWv8LpQ7rYdK4nBjhE6u"]
+        cases += ["".join(rng.choices(string.ascii_letters + string.digits + "+/=_-",
+                                      k=rng.randint(20, 64))) for _ in range(40)]
+        df = spark.createDataFrame([(c,) for c in cases], ["x"])
+        got = {r["x"]: r["h"] for r in
+               df.select("x", shannon_entropy(F.col("x")).alias("h")).collect()}
+        for c in cases:
+            assert abs(got[c] - self._py_entropy(c)) < 1e-9, c
+
+    def test_operator_flags_keys_not_identifiers(self, spark):
+        import hashlib
+
+        from fences_spark.operators.text import entropy_secret_documents
+
+        rows = [
+            (1, "key sk_FqZ93xT2mWv8LpQ7rYdK4nBjhE6u end"),
+            (2, "var total_validation_error_count_by_bucket end"),
+            (3, "pad aaaaaaaaaaaaaaaaaaaaaaaa end"),
+            (4, "clean"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: r for r in
+               entropy_secret_documents(df, "doc_id", "text").collect()}
+        assert (out[1]["n_secret_candidates"], out[1]["n_high_entropy"]) == (1, 1)
+        assert out[1]["redacted_digest"] == hashlib.md5(b"key <KEY> end").hexdigest()
+        assert (out[2]["n_secret_candidates"], out[2]["n_high_entropy"]) == (1, 0)
+        assert out[2]["redacted_digest"] == hashlib.md5(
+            b"var total_validation_error_count_by_bucket end").hexdigest()
+        assert (out[3]["n_secret_candidates"], out[3]["n_high_entropy"]) == (1, 0)
+        assert out[3]["max_entropy"] == 0.0
+        assert out[4]["max_entropy"] is None
+
+    def test_plan_is_pure_jvm(self, spark):
+        from fences_spark.operators.text import entropy_secret_documents
+
+        df = spark.createDataFrame([(1, "x sk_FqZ93xT2mWv8LpQ7rYdK4nBjhE6u")],
+                                   "doc_id int, text string")
+        plan = entropy_secret_documents(df, "doc_id", "text")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
