@@ -752,3 +752,95 @@ def entropy_secret_documents(df: DataFrame, id_col: str, text_col: str) -> DataF
         )
         .orderBy("doc_id")
     )
+
+
+def scrub_text(df: DataFrame, text_col: str) -> DataFrame:
+    """Replace ``text_col`` with its fully scrubbed form: regex PII
+    (email/IPv4/hex-secret, :data:`PII_PATTERNS`), Luhn-valid payment
+    cards, checksum-valid IBANs, and high-entropy secrets — the
+    composed release gate a curation pipeline runs before packing.
+    Checksum-/entropy-failing lookalikes are deliberately preserved.
+
+    Built as chained narrow projections (candidate arrays as
+    intermediate columns, dropped at the end) so each validated fold
+    is evaluated once; whole-stage codegen, zero Python, zero
+    shuffles."""
+    t = F.col(text_col)
+    out = df.withColumn(text_col, redact(t))
+
+    # Luhn cards
+    out = (
+        out.withColumn(
+            "_sc_c", F.regexp_extract_all(t, F.lit(CARD_CANDIDATE_RE), F.lit(0))
+        )
+        .withColumn(
+            "_sc_d",
+            F.transform(F.col("_sc_c"), lambda x: F.regexp_replace(x, "[^0-9]", "")),
+        )
+        .withColumn(
+            text_col,
+            F.aggregate(
+                F.expr(
+                    "filter(_sc_c, (x, ci) -> "
+                    + _LUHN_OK.format(d="element_at(_sc_d, ci + 1)")
+                    + ")"
+                ),
+                t,
+                lambda acc, x: F.replace(acc, x, F.lit("<CC>")),
+            ),
+        )
+        .drop("_sc_c", "_sc_d")
+    )
+
+    # IBANs
+    out = (
+        out.withColumn(
+            "_sc_c", F.regexp_extract_all(t, F.lit(IBAN_CANDIDATE_RE), F.lit(0))
+        )
+        .withColumn(
+            "_sc_r",
+            F.transform(
+                F.col("_sc_c"),
+                lambda x: F.concat(
+                    x.substr(F.lit(5), F.length(x)), x.substr(F.lit(1), F.lit(4))
+                ),
+            ),
+        )
+        .withColumn(
+            text_col,
+            F.aggregate(
+                F.expr(
+                    "filter(_sc_c, (x, ci) -> "
+                    + _MOD97_OK.format(r="element_at(_sc_r, ci + 1)")
+                    + ")"
+                ),
+                t,
+                lambda acc, x: F.replace(acc, x, F.lit("<IBAN>")),
+            ),
+        )
+        .drop("_sc_c", "_sc_r")
+    )
+
+    # high-entropy keys
+    out = (
+        out.withColumn(
+            "_sc_c", F.regexp_extract_all(t, F.lit(SECRET_CANDIDATE_RE), F.lit(0))
+        )
+        .withColumn(
+            "_sc_e",
+            F.transform(F.col("_sc_c"), lambda x: F.round(shannon_entropy(x), 6)),
+        )
+        .withColumn(
+            text_col,
+            F.aggregate(
+                F.expr(
+                    "filter(_sc_c, (x, ci) -> "
+                    f"element_at(_sc_e, ci + 1) >= {SECRET_ENTROPY_BITS})"
+                ),
+                t,
+                lambda acc, x: F.replace(acc, x, F.lit("<KEY>")),
+            ),
+        )
+        .drop("_sc_c", "_sc_e")
+    )
+    return out

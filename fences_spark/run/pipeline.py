@@ -70,6 +70,12 @@ class PipelineConfig:
     # 100 TB this also replaces executor-memory persists with
     # parquet-backed reads (column-pruned scans, no cache pressure).
     stage_checkpoints: bool = False
+    # PII/secret scrub before packing: replaces text with its scrubbed
+    # form (regex PII + Luhn-valid cards + checksum-valid IBANs +
+    # high-entropy keys — operators.text.scrub_text); checksum-failing
+    # lookalikes are preserved.  A pure narrow projection on the
+    # post-dedup survivors — no extra pass or shuffle.
+    scrub_pii: bool = False
 
     def path(self, name: str) -> str:
         return os.path.join(self.output_dir, name)
@@ -244,6 +250,13 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
         surviving = _stage_commit(
             "surviving", kept.join(non_canonical, idc, "left_anti")
         )
+
+    # 3b. PII/secret scrub (optional) — a projection over the committed
+    # survivors, so it composes with stage resume for free
+    if cfg.scrub_pii:
+        from fences_spark.operators.text import scrub_text
+
+        surviving = scrub_text(surviving, txc)
 
     # 4. pack -----------------------------------------------------------
     packed = pack_sequences(

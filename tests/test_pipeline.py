@@ -253,3 +253,36 @@ def test_stage_checkpoints_kill_matrix(spark, tmp_path_factory, monkeypatch,
     assert summary == ref_summary
     for stage in all_stages:
         assert len(snaplog.read_log(cfg.stage_root(stage))) == 1, stage
+
+
+def test_scrub_pii_stage(spark, tmp_path_factory):
+    """scrub_pii=True: the packed corpus contains no raw card / IBAN /
+    high-entropy key / email, while checksum-failing lookalikes
+    survive the scrub untouched."""
+    out = str(tmp_path_factory.mktemp("pipeline_scrub"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.select("doc_id", "text").limit(30)
+    planted = spark.createDataFrame(
+        [(910001,
+          "contact bob@example.com card 4532015112830366 ref 4532015112830367 "
+          "iban DE89370400440532013000 key sk_FqZ93xT2mWv8LpQ7rYdK4nBjhE6u "
+          "plus filler words so the curation quality gate keeps this document "
+          "around for the packing stage of the test run today")],
+        ["doc_id", "text"],
+    )
+    cfg = PipelineConfig(output_dir=out, n_shards=2, scrub_pii=True)
+    run_pipeline(spark, base.unionByName(planted), cfg)
+
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    row = corpus.filter(F.col("doc_id") == 910001).collect()
+    assert len(row) == 1
+    text = row[0]["text"]
+    assert "bob@example.com" not in text and "<EMAIL>" in text
+    assert "4532015112830366" not in text and "<CC>" in text
+    assert "DE89370400440532013000" not in text and "<IBAN>" in text
+    assert "sk_FqZ93xT2mWv8LpQ7rYdK4nBjhE6u" not in text and "<KEY>" in text
+    assert "4532015112830367" in text  # Luhn-failing lookalike preserved
+    # the validation/curation sinks saw the ORIGINAL text (scrub is a
+    # release gate on the corpus, not a rewrite of upstream evidence)
+    verd = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert verd.count() > 0
