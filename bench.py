@@ -88,6 +88,7 @@ HEADLINE = [
     "luhn_cards_docs",
     "iban_docs",
     "entropy_secrets_docs",
+    "surprisal_docs",
 ]
 
 

@@ -3903,6 +3903,41 @@ ORDER BY doc_id
 
 
 
+def q_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative unigram surprisal quality score per document:
+    explode → vocabulary aggregate → token⋈vocab shuffle join (AQE
+    absorbs Zipf skew) → per-doc mean of -log2(p(tok)).  All JVM."""
+    from fences_spark.operators.text import token_surprisal_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_surprisal_documents(docs, "doc_id", "text")
+
+
+SQL_SURPRISAL_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '')) AS t(tok)
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(cnt) AS n_total FROM vocab
+), scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         round(avg(log2(n_total) - log2(cnt)), 6) AS mean_surprisal
+  FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       s.mean_surprisal
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Ordering contract: the driver's correctness gate samples the FIRST
     # 50 entries. Round 5 rotates the window so the 25 entries never
@@ -3996,6 +4031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "luhn_cards_docs": q_luhn_cards_docs,
     "iban_docs": q_iban_docs,
     "entropy_secrets_docs": q_entropy_secrets_docs,
+    "surprisal_docs": q_surprisal_docs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4081,6 +4117,7 @@ ORACLE_SQL: dict[str, str] = {
     "luhn_cards_docs": SQL_LUHN_CARDS_DOCS,
     "iban_docs": SQL_IBAN_DOCS,
     "entropy_secrets_docs": SQL_ENTROPY_SECRETS_DOCS,
+    "surprisal_docs": SQL_SURPRISAL_DOCS,
     # The four rows-only exceptions (every other entry is value-hash
     # gated):
     # validate_files_200k: rows-only (input is synthesized, not an sf table)

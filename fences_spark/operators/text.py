@@ -844,3 +844,55 @@ def scrub_text(df: DataFrame, text_col: str) -> DataFrame:
         .drop("_sc_c", "_sc_e")
     )
     return out
+
+
+def token_surprisal_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, n_tokens, mean_surprisal) — corpus-relative unigram
+    surprisal quality score: build the corpus unigram distribution
+    (explode → groupBy token), then score each document by the mean
+    of ``-log2(count(tok) / N)`` over its tokens.  Low-surprisal docs
+    are boilerplate / repeated template text; high-surprisal docs are
+    rare-token-heavy (often noise) — both ends are what mixture
+    curation trims.  Zero-token docs score NULL.
+
+    Execution shape (and the 100 TB story): one explode + one
+    shuffle-aggregate builds the vocabulary relation (|V| rows — far
+    smaller than the corpus; heavy hitters are absorbed by partial
+    aggregation map-side), one shuffle join tokens⋈vocab on the token
+    key (AQE handles the Zipf skew of hot tokens via skew-split), the
+    scalar total N rides a broadcast single-row relation, and one
+    final groupBy(doc) re-aggregates.  Everything stays JVM-side;
+    surprisal is rounded to 6 decimals so the DuckDB oracle agrees
+    despite summation-order float drift.  No reference precedent
+    (SURVEY.md §2.F)."""
+    from fences_spark.operators import round6
+    from fences_spark.operators.dedup import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            round6(
+                F.avg(F.log2(F.col("n_total")) - F.log2(F.col("cnt")))
+            ).alias("mean_surprisal"),
+        )
+    )
+    # left join back so zero-token docs keep a row (NULL surprisal)
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "mean_surprisal",
+        )
+        .orderBy("doc_id")
+    )

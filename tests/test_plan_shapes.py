@@ -50,6 +50,7 @@ GATED = [
     "luhn_cards_docs",
     "iban_docs",
     "entropy_secrets_docs",
+    "surprisal_docs",
 ]
 
 

@@ -1648,3 +1648,48 @@ class TestEntropySecrets:
         plan = entropy_secret_documents(df, "doc_id", "text")._jdf.queryExecution() \
             .executedPlan().toString()
         assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestSurprisal:
+    """Corpus-relative unigram surprisal — pinned against a pure-Python
+    Counter implementation."""
+
+    def test_matches_python_reference(self, spark):
+        import math
+        from collections import Counter
+
+        from fences_spark.operators.text import token_surprisal_documents
+
+        corpus = {
+            1: "the cat sat on the mat",
+            2: "the the the the",
+            3: "zygote quasar",
+            4: "",
+            5: "cat mat cat MAT",   # case folding merges tokens
+        }
+        import re as _re
+        tok = lambda s: [t for t in _re.split(r"[^a-z0-9]+", s.lower()) if t]
+        counts = Counter(t for s in corpus.values() for t in tok(s))
+        n_total = sum(counts.values())
+
+        df = spark.createDataFrame(list(corpus.items()), "doc_id int, text string")
+        out = {r["doc_id"]: r for r in
+               token_surprisal_documents(df, "doc_id", "text").collect()}
+        for doc_id, s in corpus.items():
+            ts = tok(s)
+            assert out[doc_id]["n_tokens"] == len(ts)
+            if not ts:
+                assert out[doc_id]["mean_surprisal"] is None
+            else:
+                want = sum(-math.log2(counts[t] / n_total) for t in ts) / len(ts)
+                assert abs(out[doc_id]["mean_surprisal"] - want) < 1e-5, (doc_id, s)
+
+    def test_boilerplate_scores_below_rare_noise(self, spark):
+        from fences_spark.operators.text import token_surprisal_documents
+
+        rows = [(i, "standard header text repeated in every file") for i in range(20)]
+        rows.append((99, "xqzlt vwpmk jrdfh unique gibberish"))
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: r["mean_surprisal"] for r in
+               token_surprisal_documents(df, "doc_id", "text").collect()}
+        assert out[0] < out[99]  # boilerplate low, rare-token noise high
