@@ -89,6 +89,7 @@ HEADLINE = [
     "iban_docs",
     "entropy_secrets_docs",
     "surprisal_docs",
+    "json_profile_orders",
 ]
 
 

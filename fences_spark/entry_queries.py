@@ -3938,6 +3938,115 @@ ORDER BY d.doc_id
 
 
 
+def q_json_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery over a synthesized nested-JSON column: path/
+    type profile down to depth 3, with a deliberate type conflict
+    ($.id number vs string), optional keys, JSON nulls, and
+    variable-length arrays.  Variant machinery, zero Python."""
+    from fences_spark.operators.jsonprofile import json_path_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    idpart = (
+        F.when(k % 7 == 0, F.concat(F.lit('"O'), k.cast("string"), F.lit('"')))
+        .otherwise(k.cast("string"))
+    )
+    items = (
+        F.when(k % 3 == 0, F.lit(""))
+        .when(
+            k % 3 == 1,
+            F.concat(F.lit('{"p": '), (k % 10).cast("string"), F.lit(', "q": 1.5}')),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"p": '), (k % 10).cast("string"), F.lit(', "q": 2}, {"p": 3}')
+            )
+        )
+    )
+    flag = (
+        F.when(k % 5 == 0, F.lit("null"))
+        .when(k % 5 < 3, F.lit("true"))
+        .otherwise(F.lit("0.5"))
+    )
+    j = F.concat(
+        F.lit('{"id": '), idpart,
+        F.lit(', "cust": {"key": '), (k % 100).cast("string"),
+        F.lit(', "seg": "S'), (k % 4).cast("string"), F.lit('"}'),
+        F.lit(', "items": ['), items, F.lit("]"),
+        F.lit(', "flag": '), flag, F.lit("}"),
+    )
+    return json_path_profile(
+        orders.select(k.alias("doc_id"), j.alias("j")), "doc_id", "j"
+    )
+
+
+SQL_JSON_PROFILE_ORDERS = r"""
+WITH src AS (
+  SELECT o_orderkey AS doc_id,
+         '{"id": '
+         || CASE WHEN o_orderkey % 7 = 0 THEN '"O' || o_orderkey::VARCHAR || '"'
+                 ELSE o_orderkey::VARCHAR END
+         || ', "cust": {"key": ' || (o_orderkey % 100)::VARCHAR
+         || ', "seg": "S' || (o_orderkey % 4)::VARCHAR || '"}'
+         || ', "items": ['
+         || CASE WHEN o_orderkey % 3 = 0 THEN ''
+                 WHEN o_orderkey % 3 = 1
+                   THEN '{"p": ' || (o_orderkey % 10)::VARCHAR || ', "q": 1.5}'
+                 ELSE '{"p": ' || (o_orderkey % 10)::VARCHAR || ', "q": 2}, {"p": 3}'
+            END
+         || '], "flag": '
+         || CASE WHEN o_orderkey % 5 = 0 THEN 'null'
+                 WHEN o_orderkey % 5 < 3 THEN 'true'
+                 ELSE '0.5' END
+         || '}' AS j
+  FROM orders
+),
+root AS (SELECT doc_id, '$' AS disp, '$' AS realp, j FROM src WHERE json_valid(j)),
+l1 AS (
+  SELECT doc_id, disp || '.' || k AS disp, realp || '."' || k || '"' AS realp, j
+  FROM (SELECT doc_id, disp, realp, j, unnest(json_keys(j, realp)) AS k
+        FROM root WHERE json_type(j, realp) = 'OBJECT')
+  UNION ALL
+  SELECT doc_id, disp || '[]', realp || '[' || i || ']', j
+  FROM (SELECT doc_id, disp, realp, j,
+               unnest(range(json_array_length(j, realp)::BIGINT)) AS i
+        FROM root WHERE json_type(j, realp) = 'ARRAY')
+),
+l2 AS (
+  SELECT doc_id, disp || '.' || k AS disp, realp || '."' || k || '"' AS realp, j
+  FROM (SELECT doc_id, disp, realp, j, unnest(json_keys(j, realp)) AS k
+        FROM l1 WHERE json_type(j, realp) = 'OBJECT')
+  UNION ALL
+  SELECT doc_id, disp || '[]', realp || '[' || i || ']', j
+  FROM (SELECT doc_id, disp, realp, j,
+               unnest(range(json_array_length(j, realp)::BIGINT)) AS i
+        FROM l1 WHERE json_type(j, realp) = 'ARRAY')
+),
+l3 AS (
+  SELECT doc_id, disp || '.' || k AS disp, realp || '."' || k || '"' AS realp, j
+  FROM (SELECT doc_id, disp, realp, j, unnest(json_keys(j, realp)) AS k
+        FROM l2 WHERE json_type(j, realp) = 'OBJECT')
+  UNION ALL
+  SELECT doc_id, disp || '[]', realp || '[' || i || ']', j
+  FROM (SELECT doc_id, disp, realp, j,
+               unnest(range(json_array_length(j, realp)::BIGINT)) AS i
+        FROM l2 WHERE json_type(j, realp) = 'ARRAY')
+),
+allp AS (
+  SELECT * FROM root UNION ALL SELECT * FROM l1
+  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+)
+SELECT disp AS path,
+       CASE COALESCE(json_type(j, realp), 'NULL')
+         WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+         WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+         WHEN 'NULL' THEN 'null' ELSE 'number' END AS jtype,
+       count(*)::BIGINT AS n, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM allp GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Ordering contract: the driver's correctness gate samples the FIRST
     # 50 entries. Round 5 rotates the window so the 25 entries never
@@ -4032,6 +4141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iban_docs": q_iban_docs,
     "entropy_secrets_docs": q_entropy_secrets_docs,
     "surprisal_docs": q_surprisal_docs,
+    "json_profile_orders": q_json_profile_orders,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4118,6 +4228,7 @@ ORACLE_SQL: dict[str, str] = {
     "iban_docs": SQL_IBAN_DOCS,
     "entropy_secrets_docs": SQL_ENTROPY_SECRETS_DOCS,
     "surprisal_docs": SQL_SURPRISAL_DOCS,
+    "json_profile_orders": SQL_JSON_PROFILE_ORDERS,
     # The four rows-only exceptions (every other entry is value-hash
     # gated):
     # validate_files_200k: rows-only (input is synthesized, not an sf table)

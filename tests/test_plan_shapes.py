@@ -51,6 +51,7 @@ GATED = [
     "iban_docs",
     "entropy_secrets_docs",
     "surprisal_docs",
+    "json_profile_orders",
 ]
 
 
