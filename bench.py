@@ -90,6 +90,7 @@ HEADLINE = [
     "entropy_secrets_docs",
     "surprisal_docs",
     "json_profile_orders",
+    "stream_schema_drift_events",
 ]
 
 

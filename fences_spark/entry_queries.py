@@ -4047,6 +4047,101 @@ FROM allp GROUP BY 1, 2 ORDER BY 1, 2
 
 
 
+def q_stream_schema_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING schema-drift monitor replayed over events.props: the
+    baseline is the batch path/type profile of the raw props column;
+    the replayed stream plants two deterministic anomalies (a new
+    key at event_id%97, a type flip of $.k to string at event_id%89)
+    — the sink must carry exactly the new_path/new_type rows."""
+    import os
+
+    from fences_spark.operators.jsonprofile import json_path_profile
+    from fences_spark.streaming.schemadrift import (
+        SchemaDriftConfig,
+        start_schema_drift_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    baseline = json_path_profile(ev, "event_id", "props")
+    k = F.get_json_object("props", "$.k")
+    enriched = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.concat(F.lit('{"k": '), k, F.lit(', "extra": "x"}')),
+        )
+        .when(
+            F.col("event_id") % 89 == 0,
+            F.concat(F.lit('{"k": "s'), k, F.lit('"}')),
+        )
+        .otherwise(F.col("props"))
+        .alias("j"),
+    )
+    work = _stream_workdir("schemadrift", sf_dir)
+    src = os.path.join(work, "src")
+    enriched.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    cfg = SchemaDriftConfig(output_dir=work)
+    q = start_schema_drift_stream(
+        stream, baseline, cfg, id_col="event_id", json_col="j"
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(cfg.sink_path)
+        .select("path", "jtype", "status", "n", "n_docs")
+        .orderBy("path", "jtype")
+    )
+
+
+SQL_STREAM_SCHEMA_DRIFT_EVENTS = r"""
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0
+              THEN '{"k": ' || json_extract_string(props, '$.k') || ', "extra": "x"}'
+              WHEN event_id % 89 = 0
+              THEN '{"k": "s' || json_extract_string(props, '$.k') || '"}'
+              ELSE props END AS j
+  FROM events
+),
+prof AS (
+  SELECT event_id, '$' AS path, 'object' AS jtype FROM ev
+  UNION ALL
+  SELECT event_id, '$.' || key,
+         CASE COALESCE(json_type(j, '$."' || key || '"'), 'NULL')
+           WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+           WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+           WHEN 'NULL' THEN 'null' ELSE 'number' END
+  FROM (SELECT event_id, j, unnest(json_keys(j)) AS key FROM ev)
+),
+baseprof AS (
+  SELECT DISTINCT path, jtype FROM (
+    SELECT '$' AS path, 'object' AS jtype FROM events
+    UNION ALL
+    SELECT '$.' || key,
+           CASE COALESCE(json_type(props, '$."' || key || '"'), 'NULL')
+             WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+             WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+             WHEN 'NULL' THEN 'null' ELSE 'number' END
+    FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+  )
+),
+fresh AS (
+  SELECT p.path, p.jtype,
+         count(*)::BIGINT AS n, count(DISTINCT p.event_id)::BIGINT AS n_docs
+  FROM prof p
+  WHERE NOT EXISTS (SELECT 1 FROM baseprof b
+                    WHERE b.path = p.path AND b.jtype = p.jtype)
+  GROUP BY p.path, p.jtype
+)
+SELECT path, jtype,
+       CASE WHEN path IN (SELECT path FROM baseprof)
+            THEN 'new_type' ELSE 'new_path' END AS status,
+       n, n_docs
+FROM fresh ORDER BY path, jtype
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Ordering contract: the driver's correctness gate samples the FIRST
     # 50 entries. Round 5 rotates the window so the 25 entries never
@@ -4142,6 +4237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entropy_secrets_docs": q_entropy_secrets_docs,
     "surprisal_docs": q_surprisal_docs,
     "json_profile_orders": q_json_profile_orders,
+    "stream_schema_drift_events": q_stream_schema_drift_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4229,6 +4325,7 @@ ORACLE_SQL: dict[str, str] = {
     "entropy_secrets_docs": SQL_ENTROPY_SECRETS_DOCS,
     "surprisal_docs": SQL_SURPRISAL_DOCS,
     "json_profile_orders": SQL_JSON_PROFILE_ORDERS,
+    "stream_schema_drift_events": SQL_STREAM_SCHEMA_DRIFT_EVENTS,
     # The four rows-only exceptions (every other entry is value-hash
     # gated):
     # validate_files_200k: rows-only (input is synthesized, not an sf table)

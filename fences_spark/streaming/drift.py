@@ -44,6 +44,53 @@ class DriftStreamConfig:
         return os.path.join(self.output_dir, "stream_drift_ckpt")
 
 
+def reset_stale_epochs(sess, sink_path: str, ckpt_path: str) -> None:
+    """Epoch ids are only unique WITHIN one checkpoint lineage.  If the
+    checkpoint has no committed batches (fresh or reset), numbering
+    restarts at 0 and any existing epoch_id>=0 partition belongs to a
+    previous lineage, so per-epoch overwrite alone would leave stale
+    duplicate rows.  QUARANTINE them up front — a missing 'commits'
+    dir can also mean a misconfigured/relocated/corrupted checkpoint,
+    and if the file source has aged out old data a deleted history
+    could never be re-finalized; moving the partitions under an
+    underscore-prefixed trash dir (invisible to parquet partition
+    discovery) keeps the reader contract while making the reset
+    reversible by an operator.  A RESUMED checkpoint (commits present)
+    keeps its data untouched.  All checks go through the Hadoop FS API
+    so remote checkpoint/sink schemes behave like local paths.
+
+    Shared by every per-epoch-partitioned streaming sink (drift,
+    schema drift)."""
+    import logging
+    import uuid as _uuid
+
+    from fences_spark import fsutil
+
+    if fsutil.exists(sess, os.path.join(ckpt_path, "commits")):
+        return
+    stale = [
+        d
+        for d in fsutil.list_dirs(sess, sink_path, "epoch_id=*")
+        if not d.rstrip("/").endswith("epoch_id=-1")
+    ]
+    if not stale:
+        return
+    trash = os.path.join(sink_path, f"_trash-reset-{_uuid.uuid4().hex[:12]}")
+    fsutil.mkdirs(sess, trash)
+    for d in stale:
+        name = d.rstrip("/").rsplit("/", 1)[-1]
+        if not fsutil.rename(sess, d, os.path.join(trash, name)):
+            # cross-FS or racing writer: fall back to delete so the
+            # lineage invariant still holds
+            fsutil.delete(sess, d)
+    logging.getLogger(__name__).warning(
+        "sink %s had %d epoch partition(s) from a previous checkpoint "
+        "lineage (no 'commits' dir at %s); quarantined under %s — delete "
+        "that dir once the reset is confirmed intentional",
+        sink_path, len(stale), ckpt_path, trash,
+    )
+
+
 def windowed_histogram(
     stream_df: DataFrame,
     *,
@@ -114,54 +161,7 @@ def start_drift_stream(
             os.path.join(cfg.drift_path, f"epoch_id={epoch_id}")
         )
 
-    # Epoch ids are only unique WITHIN one checkpoint lineage.  If the
-    # checkpoint has no committed batches (fresh or reset), numbering
-    # restarts at 0 and any existing epoch_id>=0 partition belongs to
-    # a previous lineage: its windows may re-finalize under different
-    # epoch numbers, so per-epoch overwrite alone would leave stale
-    # duplicate w_epoch rows.  QUARANTINE them up front — a missing
-    # 'commits' dir can also mean a misconfigured/relocated/corrupted
-    # checkpoint, and if the file source has aged out old data a
-    # deleted history could never be re-finalized; moving the
-    # partitions under an underscore-prefixed trash dir (invisible to
-    # parquet partition discovery) keeps the reader contract while
-    # making the reset reversible by an operator.  A RESUMED
-    # checkpoint (commits present) keeps its data untouched.  All
-    # checks go through the Hadoop FS API so remote checkpoint/sink
-    # schemes behave like local paths.
-    import logging
-    import uuid as _uuid
-
-    from fences_spark import fsutil
-
-    sess = stream_df.sparkSession
-    if not fsutil.exists(sess, os.path.join(cfg.drift_checkpoint, "commits")):
-        stale = [
-            d
-            for d in fsutil.list_dirs(sess, cfg.drift_path, "epoch_id=*")
-            if not d.rstrip("/").endswith("epoch_id=-1")
-        ]
-        if stale:
-            trash = os.path.join(
-                cfg.drift_path, f"_trash-reset-{_uuid.uuid4().hex[:12]}"
-            )
-            fsutil.mkdirs(sess, trash)
-            for d in stale:
-                name = d.rstrip("/").rsplit("/", 1)[-1]
-                if not fsutil.rename(sess, d, os.path.join(trash, name)):
-                    # cross-FS or racing writer: fall back to delete so
-                    # the lineage invariant still holds
-                    fsutil.delete(sess, d)
-            logging.getLogger(__name__).warning(
-                "drift sink %s had %d epoch partition(s) from a previous "
-                "checkpoint lineage (no 'commits' dir at %s); quarantined "
-                "under %s — delete that dir once the reset is confirmed "
-                "intentional",
-                cfg.drift_path,
-                len(stale),
-                cfg.drift_checkpoint,
-                trash,
-            )
+    reset_stale_epochs(stream_df.sparkSession, cfg.drift_path, cfg.drift_checkpoint)
 
     # pre-create the sink with its schema (under the reserved
     # epoch_id=-1 partition so the directory layout stays uniform): a
