@@ -76,3 +76,26 @@ def test_scalar_root_and_array_root(spark):
     assert "anyOf" in schema
     kinds = {f.get("type") for f in schema["anyOf"]}
     assert kinds == {"number", "array"}
+
+
+def test_inferred_schema_feeds_the_generator(spark):
+    """Full loop: data -> profile -> inferred schema -> boundary-sample
+    GENERATION (the reference's own direction) -> Spark validation of
+    the generated samples agrees with the reference evaluator label on
+    every sample.  Inference output must be a well-formed dialect
+    schema for the whole engine, not just the validators."""
+    import json
+
+    from fences_spark.schema.generate import generate_samples
+
+    schema = _infer(spark, DOCS)
+    samples = generate_samples(schema)
+    assert len(samples) >= 10
+    assert any(ok for _, ok in samples) and any(not ok for _, ok in samples)
+
+    rows = [(i, json.dumps(v)) for i, (v, _) in enumerate(samples)]
+    df = spark.createDataFrame(rows, "doc_id int, j string")
+    res = RuleSet().add("inferred", "j", schema, mode="json").apply(df)
+    got = {r["doc_id"]: r["inferred"] for r in res.df.collect()}
+    for i, (v, want) in enumerate(samples):
+        assert got[i] == want, (v, want)
