@@ -57,3 +57,77 @@ def test_plan_is_pure_jvm(spark):
     out = json_path_profile(df, "doc_id", "j")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def _py_profile(docs, max_depth=3):
+    """Independent pure-Python reference profiler."""
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, set()])
+
+    def typ(v):
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, dict):
+            return "object"
+        if isinstance(v, list):
+            return "array"
+        if isinstance(v, str):
+            return "string"
+        if v is None:
+            return "null"
+        return "number"
+
+    def walk(doc_id, path, v, depth):
+        t = typ(v)
+        acc[(path, t)][0] += 1
+        acc[(path, t)][1].add(doc_id)
+        if depth >= max_depth:
+            return
+        if isinstance(v, dict):
+            for k, val in v.items():
+                walk(doc_id, f"{path}.{k}", val, depth + 1)
+        elif isinstance(v, list):
+            for el in v:
+                walk(doc_id, f"{path}[]", el, depth + 1)
+
+    for doc_id, v in docs:
+        walk(doc_id, "$", v, 0)
+    return {k: (n, len(ids)) for k, (n, ids) in acc.items()}
+
+
+def test_seeded_fuzz_vs_python_reference(spark):
+    """200 random nested JSON docs (seeded): the Spark variant profile
+    must equal an independently written pure-Python profiler exactly —
+    paths, canonical types, occurrence and document counts."""
+    import json
+    import random
+    import string
+
+    rng = random.Random(20260821)
+    keys = ["k" + c for c in string.ascii_lowercase[:8]]
+
+    def rand_value(depth):
+        r = rng.random()
+        if depth >= 4 or r < 0.35:
+            return rng.choice([
+                rng.randint(-50, 50), rng.random() * 10, "s" + str(rng.randint(0, 9)),
+                True, False, None,
+            ])
+        if r < 0.7:
+            return {k: rand_value(depth + 1)
+                    for k in rng.sample(keys, rng.randint(0, 4))}
+        return [rand_value(depth + 1) for _ in range(rng.randint(0, 3))]
+
+    docs = [(i, rand_value(0)) for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, json.dumps(v)) for i, v in docs], "doc_id int, j string"
+    )
+    got = {(r["path"], r["jtype"]): (r["n"], r["n_docs"])
+           for r in json_path_profile(df, "doc_id", "j").collect()}
+    want = _py_profile(docs)
+    assert got == want, {
+        "missing": sorted(set(want) - set(got))[:5],
+        "extra": sorted(set(got) - set(want))[:5],
+        "diff": [(k, got[k], want[k]) for k in got if k in want and got[k] != want[k]][:5],
+    }
