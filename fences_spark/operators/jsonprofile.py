@@ -59,8 +59,12 @@ def json_path_profile(
             f"e.value AS val FROM {prev}, LATERAL variant_explode(val) AS e"
         )
 
-    ctes = ["l0 AS (SELECT doc_id, '$' AS path, try_parse_json(j) AS val "
-            f"FROM {view} WHERE try_parse_json(j) IS NOT NULL)"]
+    # parse ONCE: the filter sits above the projection so each row pays
+    # a single try_parse_json (in one SELECT block the WHERE clause
+    # would re-evaluate the parse per row)
+    ctes = ["l0 AS (SELECT doc_id, '$' AS path, val FROM "
+            f"(SELECT doc_id, try_parse_json(j) AS val FROM {view}) "
+            "WHERE val IS NOT NULL)"]
     names = ["l0"]
     for d in range(1, max_depth + 1):
         ctes.append(f"l{d} AS ({level(f'l{d - 1}')})")
