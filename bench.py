@@ -91,6 +91,7 @@ HEADLINE = [
     "surprisal_docs",
     "json_profile_orders",
     "stream_schema_drift_events",
+    "scrub_docs",
 ]
 
 

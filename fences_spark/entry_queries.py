@@ -4142,6 +4142,127 @@ FROM fresh ORDER BY path, jtype
 
 
 
+def q_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED release-gate scrub (operators.text.scrub_text) as
+    its own value-hash-gated entry: documents deterministically
+    enriched with every PII family (regex PII, valid + checksum-failing
+    cards and IBANs, a high-entropy key, a long identifier), scrubbed,
+    and folded to a digest.  Pure JVM chained projections."""
+    from fences_spark.operators.text import scrub_text
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    enriched = F.concat(
+        F.col("text"),
+        F.when(d % 2 == 0, F.concat(
+            F.lit(" mail user"), d.cast("string"), F.lit("@example.com from 10."),
+            (d % 200).cast("string"), F.lit(".3.7"),
+        )).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit(" card 4532015112830366"))
+        .when(d % 3 == 1, F.lit(" ref 4532015112830367")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" iban GB82WEST12345698765432"))
+        .when(d % 5 == 1, F.lit(" acct GB82WEST12345698765433")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" token sk_FqZ93xT2mWv8LpQ7rYdK4nBjhE6u"))
+        .otherwise(F.lit("")),
+        F.lit(" var total_validation_error_count_by_bucket"),
+    )
+    scrubbed = scrub_text(
+        docs.select("doc_id", enriched.alias("text")), "text"
+    )
+    return scrubbed.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("scrubbed_digest")
+    ).orderBy("doc_id")
+
+
+SQL_SCRUB_DOCS = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' mail user' || doc_id::VARCHAR || '@example.com from 10.'
+                      || (doc_id % 200)::VARCHAR || '.3.7' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN ' card 4532015112830366'
+                 WHEN doc_id % 3 = 1 THEN ' ref 4532015112830367' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' iban GB82WEST12345698765432'
+                 WHEN doc_id % 5 = 1 THEN ' acct GB82WEST12345698765433' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' token sk_FqZ93xT2mWv8LpQ7rYdK4nBjhE6u'
+                 ELSE '' END
+         || ' var total_validation_error_count_by_bucket' AS text
+  FROM documents
+), s_regex AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IP>', 'g'),
+           '\b[0-9a-f]{32}\b', '<SECRET>', 'g') AS text
+  FROM enriched
+), card_c AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '\b(?:\d[ -]?){12,18}\d\b') AS cands
+  FROM s_regex
+), card_d AS (
+  SELECT doc_id, text, cands,
+         list_transform(cands, x -> regexp_replace(x, '[^0-9]', '', 'g')) AS digs
+  FROM card_c
+), s_card AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(text,
+           list_filter(cands, (x, ci) ->
+             len(digs[ci]) BETWEEN 13 AND 19 AND
+             list_sum(list_transform(range(1, len(digs[ci]) + 1), i ->
+               CASE WHEN (len(digs[ci]) - i) % 2 = 0 THEN ascii(digs[ci][i]) - 48
+                    ELSE CASE WHEN 2*(ascii(digs[ci][i]) - 48) > 9
+                         THEN 2*(ascii(digs[ci][i]) - 48) - 9
+                         ELSE 2*(ascii(digs[ci][i]) - 48) END END)) % 10 = 0)),
+           (acc, x) -> replace(acc, x, '<CC>')) AS text
+  FROM card_d
+), iban_c AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b') AS cands
+  FROM s_card
+), iban_r AS (
+  SELECT doc_id, text, cands,
+         list_transform(cands, x -> x[5:] || x[1:4]) AS rearr
+  FROM iban_c
+), s_iban AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(text,
+           list_filter(cands, (x, ci) ->
+             list_reduce(
+               list_prepend(0, list_transform(range(1, len(rearr[ci]) + 1), i ->
+                 CASE WHEN ascii(rearr[ci][i]) BETWEEN 48 AND 57
+                      THEN ascii(rearr[ci][i]) - 48
+                      ELSE -(ascii(rearr[ci][i]) - 55) END)),
+               (acc, vv) -> CASE WHEN vv >= 0 THEN (acc * 10 + vv) % 97
+                                 ELSE (acc * 100 - vv) % 97 END) = 1)),
+           (acc, x) -> replace(acc, x, '<IBAN>')) AS text
+  FROM iban_r
+), key_c AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '\b[A-Za-z0-9+/=_-]{20,64}\b') AS cands
+  FROM s_iban
+), key_e AS (
+  SELECT doc_id, text, cands,
+         list_transform(cands, x -> round(
+           list_sum(list_transform(list_distinct(string_split(x, '')), ch ->
+             -(len(list_filter(string_split(x, ''), y -> y = ch)) * 1.0 / len(x))
+              * log2(len(list_filter(string_split(x, ''), y -> y = ch)) * 1.0 / len(x))
+           )), 6)) AS ents
+  FROM key_c
+), s_key AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(text,
+           list_filter(cands, (x, ci) -> ents[ci] >= 4.2)),
+           (acc, x) -> replace(acc, x, '<KEY>')) AS text
+  FROM key_e
+)
+SELECT doc_id, md5(text) AS scrubbed_digest
+FROM s_key
+ORDER BY doc_id
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Ordering contract: the driver's correctness gate samples the FIRST
     # 50 entries. Round 5 rotates the window so the 25 entries never
@@ -4238,6 +4359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "surprisal_docs": q_surprisal_docs,
     "json_profile_orders": q_json_profile_orders,
     "stream_schema_drift_events": q_stream_schema_drift_events,
+    "scrub_docs": q_scrub_docs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4326,6 +4448,7 @@ ORACLE_SQL: dict[str, str] = {
     "surprisal_docs": SQL_SURPRISAL_DOCS,
     "json_profile_orders": SQL_JSON_PROFILE_ORDERS,
     "stream_schema_drift_events": SQL_STREAM_SCHEMA_DRIFT_EVENTS,
+    "scrub_docs": SQL_SCRUB_DOCS,
     # The four rows-only exceptions (every other entry is value-hash
     # gated):
     # validate_files_200k: rows-only (input is synthesized, not an sf table)

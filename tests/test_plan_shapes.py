@@ -52,6 +52,7 @@ GATED = [
     "entropy_secrets_docs",
     "surprisal_docs",
     "json_profile_orders",
+    "scrub_docs",
 ]
 
 
