@@ -92,6 +92,7 @@ HEADLINE = [
     "json_profile_orders",
     "stream_schema_drift_events",
     "scrub_docs",
+    "incremental_dedup_docs",
 ]
 
 

@@ -4263,6 +4263,59 @@ ORDER BY doc_id
 
 
 
+def q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental exact dedup: batch 1 = even doc_ids,
+    batch 2 = odd doc_ids with planted cross-batch dups (id%10==1
+    copies the text of id-1, a batch-1 doc) and in-batch dups
+    (id%10==7 copies id-2, an odd batch-2 doc).  Returns batch 2's
+    surviving doc_ids after dedup against the snaplog fingerprint
+    state committed by batch 1."""
+    import os
+
+    from fences_spark.operators.dedup import incremental_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    src = docs.select(F.col("doc_id").alias("rid"), F.col("text").alias("rtext"))
+    b2 = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .withColumn(
+            "rid",
+            F.when(F.col("doc_id") % 10 == 1, F.col("doc_id") - 1)
+            .when(F.col("doc_id") % 10 == 7, F.col("doc_id") - 2),
+        )
+        .join(src, "rid", "left")
+        .select("doc_id", F.coalesce("rtext", "text").alias("text"))
+    )
+    work = _stream_workdir("incdedup", sf_dir)
+    root = os.path.join(work, "state")
+    s1, _ = incremental_exact_dedup(spark, root, b1, "doc_id", "text")
+    s1.count()  # materialize so batch 1's state commit happens first
+    s2, _ = incremental_exact_dedup(spark, root, b2, "doc_id", "text")
+    return s2.select("doc_id").orderBy("doc_id")
+
+
+SQL_INCREMENTAL_DEDUP_DOCS = """
+WITH b2 AS (
+  SELECT d.doc_id, COALESCE(r.text, d.text) AS text
+  FROM documents d
+  LEFT JOIN documents r
+    ON r.doc_id = CASE WHEN d.doc_id % 10 = 1 THEN d.doc_id - 1
+                       WHEN d.doc_id % 10 = 7 THEN d.doc_id - 2 END
+  WHERE d.doc_id % 2 = 1
+), b1fp AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+), keep AS (
+  SELECT md5(text) AS fp, MIN(doc_id) AS keep_id FROM b2 GROUP BY 1
+)
+SELECT k.keep_id AS doc_id
+FROM keep k
+WHERE NOT EXISTS (SELECT 1 FROM b1fp b WHERE b.fp = k.fp)
+ORDER BY doc_id
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Ordering contract: the driver's correctness gate samples the FIRST
     # 50 entries. Round 5 rotates the window so the 25 entries never
@@ -4360,6 +4413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_profile_orders": q_json_profile_orders,
     "stream_schema_drift_events": q_stream_schema_drift_events,
     "scrub_docs": q_scrub_docs,
+    "incremental_dedup_docs": q_incremental_dedup_docs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4449,6 +4503,7 @@ ORACLE_SQL: dict[str, str] = {
     "json_profile_orders": SQL_JSON_PROFILE_ORDERS,
     "stream_schema_drift_events": SQL_STREAM_SCHEMA_DRIFT_EVENTS,
     "scrub_docs": SQL_SCRUB_DOCS,
+    "incremental_dedup_docs": SQL_INCREMENTAL_DEDUP_DOCS,
     # The four rows-only exceptions (every other entry is value-hash
     # gated):
     # validate_files_200k: rows-only (input is synthesized, not an sf table)

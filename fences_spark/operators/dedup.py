@@ -611,3 +611,57 @@ def paragraph_dedup(
             F.transform(surviving, lambda s: s.getField("par")), sep
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch incremental dedup (round 5): dedup a NEW batch against
+# every previously processed batch without rescanning old text.
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    spark,
+    state_root: str,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+):
+    """Exact dedup of ``new_docs`` against all PRIOR batches: drop a
+    new document when its content hash was seen in any earlier batch
+    (or earlier in this batch — within-batch keep = min id), then
+    commit the batch's surviving fingerprints as a new snapshot of the
+    snaplog state table at ``state_root``.
+
+    Returns ``(survivors, snapshot_id)`` — survivors is the deduped
+    slice of ``new_docs``; snapshot_id is None when the batch
+    contributed nothing new.
+
+    Scale notes (100 TB): the state table holds ONE (fingerprint,
+    keep_id) row per distinct document ever kept — orders of magnitude
+    smaller than the corpus, scanned column-pruned; the anti-join
+    shuffles on the fingerprint (uniform by construction — md5), and
+    snaplog's write-data-then-commit ordering means a crash between
+    dedup and commit re-runs the batch idempotently (same
+    fingerprints → deterministic same snapshot id).  The reference has
+    no incremental analog — SURVEY.md §2.F."""
+    from fences_spark.sources import snaplog
+
+    fp = new_docs.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("fp"),
+    )
+    # within-batch canonical: min id per fingerprint
+    batch_keep = fp.groupBy("fp").agg(F.min("_id").alias("keep_id"))
+    if snaplog.current_snapshot_id(state_root) is not None:
+        seen = snaplog.read(spark, state_root).select("fp")
+        fresh = batch_keep.join(seen, "fp", "left_anti")
+    else:
+        fresh = batch_keep
+    survivors = new_docs.join(
+        fresh.select(F.col("keep_id").alias(id_col)), id_col
+    )
+    new_state = fresh.select("fp", "keep_id")
+    if new_state.isEmpty():
+        return survivors, None
+    snap_id = snaplog.append(spark, state_root, new_state)
+    return survivors, snap_id

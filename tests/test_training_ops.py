@@ -1693,3 +1693,43 @@ class TestSurprisal:
         out = {r["doc_id"]: r["mean_surprisal"] for r in
                token_surprisal_documents(df, "doc_id", "text").collect()}
         assert out[0] < out[99]  # boilerplate low, rare-token noise high
+
+
+class TestIncrementalDedup:
+    """Cross-batch exact dedup against snaplog fingerprint state."""
+
+    def test_two_batches_and_crash_retry(self, spark, tmp_path):
+        from fences_spark.operators.dedup import incremental_exact_dedup
+        from fences_spark.sources import snaplog
+
+        root = str(tmp_path / "state")
+        b1 = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id int, text string"
+        )
+        s1, snap1 = incremental_exact_dedup(spark, root, b1, "doc_id", "text")
+        # within-batch: alpha keeps min id 1
+        assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]
+        assert snap1 is not None
+
+        b2 = spark.createDataFrame(
+            [(10, "beta"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+            "doc_id int, text string",
+        )
+        s2, snap2 = incremental_exact_dedup(spark, root, b2, "doc_id", "text")
+        # beta seen in batch 1 -> dropped; gamma keeps 11; delta new
+        assert sorted(r["doc_id"] for r in s2.collect()) == [11, 13]
+        assert snap2 is not None and snap2 != snap1
+        # state holds one row per distinct kept fingerprint
+        assert snaplog.read(spark, root).count() == 4  # alpha beta gamma delta
+
+        # an all-duplicate batch contributes nothing and commits nothing
+        b3 = spark.createDataFrame([(20, "alpha")], "doc_id int, text string")
+        s3, snap3 = incremental_exact_dedup(spark, root, b3, "doc_id", "text")
+        assert s3.count() == 0 and snap3 is None
+        assert len(snaplog.read_log(root)) == 2
+
+        # crash-retry idempotency: replaying batch 2 against the state
+        # drops EVERYTHING (its fingerprints are now all seen), so a
+        # re-run after a crash-after-commit cannot double-commit
+        s2r, snap2r = incremental_exact_dedup(spark, root, b2, "doc_id", "text")
+        assert s2r.count() == 0 and snap2r is None
