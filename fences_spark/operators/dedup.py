@@ -665,3 +665,122 @@ def incremental_exact_dedup(
         return survivors, None
     snap_id = snaplog.append(spark, state_root, new_state)
     return survivors, snap_id
+
+
+def incremental_minhash_dedup(
+    spark,
+    state_root: str,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 24,
+    band_hashes: int = 12,
+    band_size: int = 3,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    max_band_group: int = 64,
+):
+    """NEAR-dup dedup of a new batch against every prior batch's KEPT
+    documents — the incremental companion of
+    :func:`minhash_near_dup_scored`, with a snaplog state table
+    instead of a corpus rescan.
+
+    State layout: one row per kept doc — ``(doc_id, sig
+    array<string>, bands array<string>)`` (signature + its band
+    hashes; the seeds are deterministic, so signatures are comparable
+    across batches forever).  Per batch:
+
+    1. signature pass over the new batch (one shingle explode);
+    2. WITHIN-batch near-dups: banded candidates scored by the
+       fraction-of-equal-minhashes estimator, connected components,
+       non-canonical members dropped (same semantics as the batch
+       operator);
+    3. CROSS-batch: the batch's band hashes join the state's exploded
+       bands (shuffle on the uniform band hash), candidate (new, old)
+       pairs scored against the state's stored signatures, and any new
+       doc scoring ≥ ``threshold`` against ANY prior kept doc drops;
+    4. survivors' state rows append as the batch's snapshot (nothing
+       commits when every doc was a duplicate — replaying a committed
+       batch is a no-op, so crash-retry is idempotent).
+
+    Scale notes: the state carries ~(n_hashes + n_bands) md5 strings
+    per kept doc — orders of magnitude under the corpus — and both
+    joins key on md5-uniform hashes (no skew); zero-shingle docs have
+    no signature and are never near-dup candidates, mirroring the
+    batch operator.  Returns ``(survivors, snapshot_id_or_None)``."""
+    from pyspark import StorageLevel
+
+    from fences_spark.sources import snaplog
+
+    n_bands = band_hashes // band_size
+    sigs = minhash_signatures(
+        new_docs, id_col, text_col, n_hashes=n_hashes, shingle_k=shingle_k
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    band_arr = F.array(*[
+        F.md5(F.concat_ws("|", *[
+            F.element_at("sig", b * band_size + r + 1) for r in range(band_size)
+        ]))
+        for b in range(n_bands)
+    ])
+    staged = sigs.select("doc_id", "sig", band_arr.alias("bands")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # 2. within-batch: candidates → score → connected components
+    prefix = staged.select("doc_id", F.slice("sig", 1, band_hashes).alias("sig"))
+    pairs = _bands_to_pairs(prefix, band_hashes, band_size, max_band_group)
+    scored = _score_pairs(pairs, sigs, n_hashes).filter(
+        F.col("jaccard_est") >= threshold
+    )
+    comp = connected_components(scored)
+    non_canonical = comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+
+    # 3. cross-batch: batch bands ⋈ state bands → pairs → score
+    cross_dropped = None
+    if snaplog.current_snapshot_id(state_root) is not None:
+        state = snaplog.read(spark, state_root)
+        new_bands = staged.select(
+            F.col("doc_id").alias("new_id"),
+            F.posexplode("bands").alias("band_idx", "band_hash"),
+        )
+        old_bands = state.select(
+            F.col("doc_id").alias("old_id"),
+            F.col("sig").alias("old_sig"),
+            F.posexplode("bands").alias("band_idx", "band_hash"),
+        )
+        cand = (
+            new_bands.join(old_bands, ["band_idx", "band_hash"])
+            .select("new_id", "old_id", "old_sig")
+            .distinct()
+        )
+        eq = F.aggregate(
+            F.zip_with("sig", "old_sig", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        cross_dropped = (
+            cand.join(staged.select(F.col("doc_id").alias("new_id"), "sig"), "new_id")
+            .select("new_id", (eq / F.lit(n_hashes)).alias("est"))
+            .filter(F.col("est") >= threshold)
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+
+    dropped = non_canonical
+    if cross_dropped is not None:
+        dropped = dropped.unionByName(cross_dropped).distinct()
+    survivors = new_docs.join(
+        dropped.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+
+    # 4. commit survivors' state
+    new_state = staged.join(dropped, "doc_id", "left_anti")
+    snap_id = None
+    if not new_state.isEmpty():
+        snap_id = snaplog.append(spark, state_root, new_state)
+    sigs.unpersist()
+    staged.unpersist()
+    return survivors, snap_id

@@ -1733,3 +1733,46 @@ class TestIncrementalDedup:
         # re-run after a crash-after-commit cannot double-commit
         s2r, snap2r = incremental_exact_dedup(spark, root, b2, "doc_id", "text")
         assert s2r.count() == 0 and snap2r is None
+
+    def test_incremental_minhash_near_dup(self, spark, tmp_path):
+        from fences_spark.operators.dedup import incremental_minhash_dedup
+        from fences_spark.sources import snaplog
+
+        root = str(tmp_path / "nd_state")
+        base = ("the quick brown fox jumps over the lazy dog and then runs "
+                "far away into the deep green forest tonight looking for food")
+        near = base + " indeed"  # appended word: ~0.95 shingle jaccard
+        other = ("completely different content about distributed query "
+                 "engines shuffling partitions across executor nodes forever "
+                 "while the optimizer prunes columns and pushes filters down")
+
+        b1 = spark.createDataFrame(
+            [(1, base), (2, near), (3, other)], "doc_id int, text string"
+        )
+        s1, snap1 = incremental_minhash_dedup(spark, root, b1, "doc_id", "text")
+        kept1 = sorted(r["doc_id"] for r in s1.collect())
+        # near-dup pair collapses to its min id; other survives
+        assert kept1 == [1, 3]
+        assert snap1 is not None
+        assert snaplog.read(spark, root).count() == 2
+
+        # batch 2: another near-dup of base (cross-batch drop), a fresh
+        # doc, and a near-dup pair within the batch
+        fresh = ("a brand new document mentioning streaming watermarks and "
+                 "stateful aggregation semantics with late data dropped "
+                 "after the configured delay expires in the pipeline")
+        fresh_near = fresh + " okay"
+        b2 = spark.createDataFrame(
+            [(10, base + " again"), (11, fresh), (12, fresh_near)],
+            "doc_id int, text string",
+        )
+        s2, snap2 = incremental_minhash_dedup(spark, root, b2, "doc_id", "text")
+        kept2 = sorted(r["doc_id"] for r in s2.collect())
+        assert kept2 == [11]  # 10 drops vs state doc 1; 12 drops vs 11
+        assert snap2 is not None
+        assert snaplog.read(spark, root).count() == 3
+
+        # replaying the committed batch is a no-op (crash-retry)
+        s2r, snap2r = incremental_minhash_dedup(spark, root, b2, "doc_id", "text")
+        assert s2r.count() == 0 and snap2r is None
+        assert len(snaplog.read_log(root)) == 2
