@@ -296,16 +296,54 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> d
 
 
 def main() -> None:  # pragma: no cover - exercised via spark-submit
-    import sys
+    import argparse
 
     from fences_spark.session import get_spark
 
-    source, out = sys.argv[1], sys.argv[2]
+    ap = argparse.ArgumentParser(
+        description="End-to-end curation pipeline (spark-submit entry)"
+    )
+    ap.add_argument("source", help="input table (parquet dir / snaplog root / catalog id)")
+    ap.add_argument("output_dir")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--pack-budget", type=int, default=256)
+    ap.add_argument("--n-shards", type=int, default=8)
+    ap.add_argument("--quality-min-pct", type=float, default=None,
+                    help="drop docs below this per-stratum quality percentile")
+    ap.add_argument("--strata-col", default=None)
+    ap.add_argument("--blocked-domains", default=None,
+                    help="comma-separated URL domain blocklist")
+    ap.add_argument("--pointer-diagnostics", action="store_true",
+                    help="violation sink rows carry instance JSON pointers")
+    ap.add_argument("--stage-checkpoints", action="store_true",
+                    help="commit each funnel stage as a snaplog snapshot; "
+                         "a killed run resumes at the last completed stage")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="scrub email/IP/secret/card/IBAN/key PII from the "
+                         "corpus before packing")
+    args = ap.parse_args()
+
     spark = get_spark()
     from fences_spark.sources import read_table
 
-    docs = read_table(spark, source)
-    print(json.dumps(run_pipeline(spark, docs, PipelineConfig(output_dir=out))))
+    docs = read_table(spark, args.source)
+    cfg = PipelineConfig(
+        output_dir=args.output_dir,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        pack_budget=args.pack_budget,
+        n_shards=args.n_shards,
+        quality_min_pct=args.quality_min_pct,
+        strata_col=args.strata_col,
+        blocked_domains=(
+            args.blocked_domains.split(",") if args.blocked_domains else None
+        ),
+        pointer_diagnostics=args.pointer_diagnostics,
+        stage_checkpoints=args.stage_checkpoints,
+        scrub_pii=args.scrub_pii,
+    )
+    print(json.dumps(run_pipeline(spark, docs, cfg)))
 
 
 if __name__ == "__main__":
