@@ -93,6 +93,7 @@ HEADLINE = [
     "stream_schema_drift_events",
     "scrub_docs",
     "incremental_dedup_docs",
+    "json_values_orders",
 ]
 
 

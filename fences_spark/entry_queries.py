@@ -4316,6 +4316,127 @@ ORDER BY doc_id
 
 
 
+def q_json_values_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level schema discovery over the same synthesized nested
+    JSON as json_profile_orders: top-8 observed values per scalar
+    path (canonical JSON text), ranked by count then value."""
+    from fences_spark.operators.jsonprofile import json_value_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    idpart = (
+        F.when(k % 7 == 0, F.concat(F.lit('"O'), k.cast("string"), F.lit('"')))
+        .otherwise(k.cast("string"))
+    )
+    items = (
+        F.when(k % 3 == 0, F.lit(""))
+        .when(
+            k % 3 == 1,
+            F.concat(F.lit('{"p": '), (k % 10).cast("string"), F.lit(', "q": 1.5}')),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"p": '), (k % 10).cast("string"), F.lit(', "q": 2}, {"p": 3}')
+            )
+        )
+    )
+    flag = (
+        F.when(k % 5 == 0, F.lit("null"))
+        .when(k % 5 < 3, F.lit("true"))
+        .otherwise(F.lit("0.5"))
+    )
+    j = F.concat(
+        F.lit('{"id": '), idpart,
+        F.lit(', "cust": {"key": '), (k % 100).cast("string"),
+        F.lit(', "seg": "S'), (k % 4).cast("string"), F.lit('"}'),
+        F.lit(', "items": ['), items, F.lit("]"),
+        F.lit(', "flag": '), flag, F.lit("}"),
+    )
+    return json_value_profile(
+        orders.select(k.alias("doc_id"), j.alias("j")), "doc_id", "j", top_k=8
+    )
+
+
+SQL_JSON_VALUES_ORDERS = r"""
+WITH src AS (
+  SELECT o_orderkey AS doc_id,
+         '{"id": '
+         || CASE WHEN o_orderkey % 7 = 0 THEN '"O' || o_orderkey::VARCHAR || '"'
+                 ELSE o_orderkey::VARCHAR END
+         || ', "cust": {"key": ' || (o_orderkey % 100)::VARCHAR
+         || ', "seg": "S' || (o_orderkey % 4)::VARCHAR || '"}'
+         || ', "items": ['
+         || CASE WHEN o_orderkey % 3 = 0 THEN ''
+                 WHEN o_orderkey % 3 = 1
+                   THEN '{"p": ' || (o_orderkey % 10)::VARCHAR || ', "q": 1.5}'
+                 ELSE '{"p": ' || (o_orderkey % 10)::VARCHAR || ', "q": 2}, {"p": 3}'
+            END
+         || '], "flag": '
+         || CASE WHEN o_orderkey % 5 = 0 THEN 'null'
+                 WHEN o_orderkey % 5 < 3 THEN 'true'
+                 ELSE '0.5' END
+         || '}' AS j
+  FROM orders
+),
+root AS (SELECT doc_id, '$' AS disp, '$' AS realp, j FROM src WHERE json_valid(j)),
+l1 AS (
+  SELECT doc_id, disp || '.' || k AS disp, realp || '."' || k || '"' AS realp, j
+  FROM (SELECT doc_id, disp, realp, j, unnest(json_keys(j, realp)) AS k
+        FROM root WHERE json_type(j, realp) = 'OBJECT')
+  UNION ALL
+  SELECT doc_id, disp || '[]', realp || '[' || i || ']', j
+  FROM (SELECT doc_id, disp, realp, j,
+               unnest(range(json_array_length(j, realp)::BIGINT)) AS i
+        FROM root WHERE json_type(j, realp) = 'ARRAY')
+),
+l2 AS (
+  SELECT doc_id, disp || '.' || k AS disp, realp || '."' || k || '"' AS realp, j
+  FROM (SELECT doc_id, disp, realp, j, unnest(json_keys(j, realp)) AS k
+        FROM l1 WHERE json_type(j, realp) = 'OBJECT')
+  UNION ALL
+  SELECT doc_id, disp || '[]', realp || '[' || i || ']', j
+  FROM (SELECT doc_id, disp, realp, j,
+               unnest(range(json_array_length(j, realp)::BIGINT)) AS i
+        FROM l1 WHERE json_type(j, realp) = 'ARRAY')
+),
+l3 AS (
+  SELECT doc_id, disp || '.' || k AS disp, realp || '."' || k || '"' AS realp, j
+  FROM (SELECT doc_id, disp, realp, j, unnest(json_keys(j, realp)) AS k
+        FROM l2 WHERE json_type(j, realp) = 'OBJECT')
+  UNION ALL
+  SELECT doc_id, disp || '[]', realp || '[' || i || ']', j
+  FROM (SELECT doc_id, disp, realp, j,
+               unnest(range(json_array_length(j, realp)::BIGINT)) AS i
+        FROM l2 WHERE json_type(j, realp) = 'ARRAY')
+),
+allp AS (
+  SELECT * FROM root UNION ALL SELECT * FROM l1
+  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+),
+scal AS (
+  SELECT disp AS path,
+         CASE COALESCE(json_type(j, realp), 'NULL')
+           WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+           WHEN 'NULL' THEN 'null' ELSE 'number' END AS jtype,
+         COALESCE(json_extract(j, realp)::VARCHAR, 'null') AS value
+  FROM allp
+  WHERE COALESCE(json_type(j, realp), 'NULL') NOT IN ('OBJECT', 'ARRAY')
+),
+agg AS (
+  SELECT path, jtype, value, count(*)::BIGINT AS n
+  FROM scal GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY path, jtype ORDER BY n DESC, value) AS rk
+  FROM agg
+)
+SELECT path, jtype, value, n, rk::INT AS rk
+FROM ranked WHERE rk <= 8 ORDER BY path, jtype, rk
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Ordering contract: the driver's correctness gate samples the FIRST
     # 50 entries. Round 5 rotates the window so the 25 entries never
@@ -4414,6 +4535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_schema_drift_events": q_stream_schema_drift_events,
     "scrub_docs": q_scrub_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
+    "json_values_orders": q_json_values_orders,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4504,6 +4626,7 @@ ORACLE_SQL: dict[str, str] = {
     "stream_schema_drift_events": SQL_STREAM_SCHEMA_DRIFT_EVENTS,
     "scrub_docs": SQL_SCRUB_DOCS,
     "incremental_dedup_docs": SQL_INCREMENTAL_DEDUP_DOCS,
+    "json_values_orders": SQL_JSON_VALUES_ORDERS,
     # The four rows-only exceptions (every other entry is value-hash
     # gated):
     # validate_files_200k: rows-only (input is synthesized, not an sf table)

@@ -61,17 +61,33 @@ class _Node:
     def __init__(self) -> None:
         self.types: dict[str, int] = {}  # jtype -> n occurrences
         self.children: dict[str, _Node] = {}  # key or '[]' -> node
+        self.enum: list | None = None  # observed closed value set
 
     def child(self, step: str) -> "_Node":
         return self.children.setdefault(step, _Node())
 
 
-def infer_schema(profile: DataFrame | list) -> dict | bool:
+def infer_schema(
+    profile: DataFrame | list,
+    *,
+    values: DataFrame | list | None = None,
+    enum_max_cardinality: int | None = None,
+) -> dict | bool:
     """Build a draft-2020-12 schema dict from a profile produced by
     :func:`fences_spark.operators.jsonprofile.json_path_profile`
     (a DataFrame, or pre-collected rows with the same four fields).
     An empty profile (no valid JSON at all) yields ``True`` — the
-    schema that accepts anything, since nothing was observed."""
+    schema that accepts anything, since nothing was observed.
+
+    With ``values`` (a :func:`json_value_profile` result) and
+    ``enum_max_cardinality`` set, a scalar-only path whose observed
+    distinct values number at most the bound gets an ``enum``
+    constraint.  Caller contract: generate the value profile with
+    ``top_k > enum_max_cardinality`` — a field truncated at top_k then
+    shows more than the bound and is correctly rejected, so a
+    truncated sample can never produce a too-tight enum."""
+    import json as _json
+
     rows = profile.collect() if isinstance(profile, DataFrame) else profile
     root = _Node()
     for r in rows:
@@ -83,6 +99,26 @@ def infer_schema(profile: DataFrame | list) -> dict | bool:
         node.types[jtype] = node.types.get(jtype, 0) + n
     if not root.types:
         return True
+    if values is not None and enum_max_cardinality is not None:
+        vrows = values.collect() if isinstance(values, DataFrame) else values
+        by_path: dict[str, list] = {}
+        for r in vrows:
+            by_path.setdefault(r["path"], []).append(r["value"])
+        for path, texts in by_path.items():
+            if len(texts) > enum_max_cardinality:
+                continue
+            node = root
+            try:
+                for step in _parse_path(path):
+                    node = node.children[step]
+            except KeyError:
+                continue  # value row for a path the type profile lacks
+            if any(t in _STRUCTURED for t in node.types):
+                continue  # enum only for scalar-only paths
+            node.enum = sorted(
+                (_json.loads(t) for t in texts),
+                key=lambda v: _json.dumps(v),
+            )
     return _schema_of(root)
 
 
@@ -113,9 +149,13 @@ def _facet(node: _Node, jtype: str) -> dict:
 def _schema_of(node: _Node) -> dict:
     types = sorted(node.types)
     if len(types) == 1:
-        return _facet(node, types[0])
-    if any(t in _STRUCTURED for t in types):
+        out = _facet(node, types[0])
+    elif any(t in _STRUCTURED for t in types):
         # mixed structured/scalar: per-type facets under anyOf so the
         # object/array constraints only bind their own type
         return {"anyOf": [_facet(node, t) for t in types]}
-    return {"type": types}
+    else:
+        out = {"type": types}
+    if node.enum is not None:
+        out["enum"] = node.enum
+    return out

@@ -99,3 +99,27 @@ def test_inferred_schema_feeds_the_generator(spark):
     got = {r["doc_id"]: r["inferred"] for r in res.df.collect()}
     for i, (v, want) in enumerate(samples):
         assert got[i] == want, (v, want)
+
+
+def test_enum_inference_from_value_profile(spark):
+    """values= + enum_max_cardinality: a low-cardinality scalar path
+    gains an enum; high-cardinality and structured paths do not; the
+    enum round-trips (observed values valid, unseen value invalid)."""
+    from fences_spark.operators.jsonprofile import json_value_profile
+
+    docs = [(i, '{"seg": "%s", "n": %d}' % ("AB"[i % 2], i)) for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id int, j string")
+    prof = json_path_profile(df, "doc_id", "j")
+    vals = json_value_profile(df, "doc_id", "j", top_k=8)
+    schema = infer_schema(prof, values=vals, enum_max_cardinality=4)
+    assert schema["properties"]["seg"]["enum"] == ["A", "B"]
+    # n has 20 distinct values, truncated at top_k=8 > bound 4 -> no enum
+    assert "enum" not in schema["properties"]["n"]
+
+    check = spark.createDataFrame(
+        [(100, '{"seg": "A", "n": 1}'), (101, '{"seg": "C", "n": 1}')],
+        "doc_id int, j string",
+    )
+    res = RuleSet().add("inf", "j", schema, mode="json").apply(check)
+    got = {r["doc_id"]: r["inf"] for r in res.df.collect()}
+    assert got == {100: True, 101: False}

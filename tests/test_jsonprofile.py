@@ -131,3 +131,59 @@ def test_seeded_fuzz_vs_python_reference(spark):
         "extra": sorted(set(got) - set(want))[:5],
         "diff": [(k, got[k], want[k]) for k in got if k in want and got[k] != want[k]][:5],
     }
+
+
+def test_value_profile_topk_and_ranking(spark):
+    from fences_spark.operators.jsonprofile import json_value_profile
+
+    docs = [(i, '{"seg": "%s", "n": %d}' % ("AAB"[i % 3], i % 2)) for i in range(9)]
+    df = spark.createDataFrame(docs, "doc_id int, j string")
+    got = {(r["path"], r["jtype"], r["value"]): (r["n"], r["rk"]) for r in
+           json_value_profile(df, "doc_id", "j", top_k=1).collect()}
+    # top_k=1 keeps only the most frequent value per (path, jtype)
+    assert got[("$.seg", "string", '"A"')] == (6, 1)
+    assert ("$.seg", "string", '"B"') not in got
+    # tie on $.n (0 x5? 0,1 alternate over 9 docs -> 0 five times)
+    assert got[("$.n", "number", "0")] == (5, 1)
+
+
+def test_value_profile_fuzz_vs_python(spark):
+    """Seeded random docs: Spark value profile (top_k large enough to
+    disable truncation) equals a pure-Python counter on rendered
+    canonical JSON values."""
+    import json
+    import random
+    from collections import Counter
+
+    rng = random.Random(77)
+    from fences_spark.operators.jsonprofile import json_value_profile
+
+    docs = []
+    for i in range(120):
+        docs.append((i, {
+            "a": rng.choice([1, 2, "x", True, None]),
+            "b": {"c": rng.choice(["p", "q"])},
+            "arr": [rng.choice([3, "y"]) for _ in range(rng.randint(0, 2))],
+        }))
+    df = spark.createDataFrame(
+        [(i, json.dumps(v)) for i, v in docs], "doc_id int, j string"
+    )
+    got = {(r["path"], r["jtype"], r["value"]): r["n"] for r in
+           json_value_profile(df, "doc_id", "j", top_k=100).collect()}
+
+    def jt(v):
+        if isinstance(v, bool):
+            return "boolean"
+        if v is None:
+            return "null"
+        if isinstance(v, str):
+            return "string"
+        return "number"
+
+    want = Counter()
+    for i, v in docs:
+        want[("$.a", jt(v["a"]), json.dumps(v["a"]))] += 1
+        want[("$.b.c", "string", json.dumps(v["b"]["c"]))] += 1
+        for el in v["arr"]:
+            want[("$.arr[]", jt(el), json.dumps(el))] += 1
+    assert got == dict(want)
