@@ -155,6 +155,33 @@ def _job_stratum_percentile(df: DataFrame) -> int:
     return quality_percentiles(_stratum_docs(df), "doc", "text", "repo").count()
 
 
+
+def _job_token_surprisal(df: DataFrame) -> int:
+    """Corpus-relative unigram surprisal (operators.text) — the token
+    join is THE Zipf-skew stress: hot tokens (the 30% boilerplate's
+    words, every template keyword) land whole-corpus-sized partitions
+    on the vocab join unless partial aggregation + AQE absorb them.
+    Text = commit + content so the uniform side's vocabulary is
+    per-row-unique-heavy while the skewed side concentrates mass in a
+    handful of boilerplate tokens."""
+    from fences_spark.operators.text import token_surprisal_documents
+
+    # deterministic 25% sample: the surprisal chain (explode + vocab
+    # agg + token join + re-agg) is the harness's heaviest job and the
+    # skew RATIO is scale-free — the sample keeps the whole harness
+    # inside the driver bench budget while the hot tokens stay hot
+    docs = df.sample(0.25, seed=7).select(
+        F.monotonically_increasing_id().alias("doc"),
+        F.concat_ws(" ", F.col("commit"), F.col("content")).alias("text"),
+    )
+    out = token_surprisal_documents(docs, "doc", "text")
+    # count(mean_surprisal), not count(*): the aggregate's doc_id key is
+    # provably unique, so Catalyst ELIMINATES the left join under a bare
+    # count(*) and the job would time a metadata scan (observed 0.19s
+    # for 8M docs — nothing ran)
+    return int(out.selectExpr("count(mean_surprisal)").first()[0])
+
+
 JOBS = [
     ("salted_dedup", lambda df, dim: _job_salted_dedup(df)),
     ("dup_key_count", lambda df, dim: _job_dup_key_count(df)),
@@ -163,6 +190,7 @@ JOBS = [
     ("content_dedup_groups", lambda df, dim: _job_content_dedup_groups(df)),
     ("quota_topk", lambda df, dim: _job_quota_topk(df)),
     ("stratum_percentile", lambda df, dim: _job_stratum_percentile(df)),
+    ("token_surprisal", lambda df, dim: _job_token_surprisal(df)),
 ]
 
 

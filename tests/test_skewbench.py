@@ -52,6 +52,7 @@ def test_stress_passes_and_split_fires(spark):
         "content_dedup_groups",
         "quota_topk",
         "stratum_percentile",
+        "token_surprisal",
     }
     assert d["skew_split_fired"] is True
     for name, v in d["ops"].items():
